@@ -1,0 +1,2 @@
+from lfb_tpu.parallel.mesh import (create_mesh, shard_batch, replicate,
+                                   batch_sharding)

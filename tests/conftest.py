@@ -1,0 +1,29 @@
+"""Test harness: emulate an 8-device TPU slice on CPU.
+
+Must set XLA flags before jax initializes (safe even if re-imported).
+"""
+
+import os
+
+# The session environment pins JAX_PLATFORMS to the TPU tunnel ('axon');
+# unit tests always run on an 8-virtual-device CPU backend.
+os.environ['JAX_PLATFORMS'] = 'cpu'
+_flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in _flags:
+    os.environ['XLA_FLAGS'] = (
+        _flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin overrides JAX_PLATFORMS; pin cpu explicitly.
+jax.config.update('jax_platforms', 'cpu')
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope='session')
+def eight_devices():
+    import jax
+    devs = jax.devices()
+    assert len(devs) >= 8, devs
+    return devs

@@ -1,0 +1,116 @@
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lfb_tpu.core import config as C
+from lfb_tpu.models import build_spec, init_params
+from lfb_tpu.parallel import create_mesh, shard_batch
+from lfb_tpu.train.steps import make_eval_step, make_train_step, split_params
+from lfb_tpu.train import optimizer as opt
+from lfb_tpu.models.model import frozen_param_names
+
+
+def small_cfg():
+    cfg = C.default_config()
+    cfg.DATASET = 'charades'
+    cfg.MODEL.NUM_CLASSES = 6
+    cfg.MODEL.USE_AFFINE = True
+    cfg.NONLOCAL.USE_BN = False
+    cfg.NONLOCAL.USE_AFFINE = True
+    cfg.MODEL.MULTI_LABEL = True
+    cfg.TRAIN.VIDEO_LENGTH = 8
+    cfg.TEST.VIDEO_LENGTH = 8
+    cfg.TRAIN.CROP_SIZE = 32
+    cfg.TEST.CROP_SIZE = 32
+    cfg.TRAIN.BATCH_SIZE = 8
+    cfg.TEST.BATCH_SIZE = 8
+    cfg.NUM_GPUS = 8
+    cfg.TRAIN.DROPOUT_RATE = 0.0
+    cfg.TPU.COMPUTE_DTYPE = 'float32'
+    cfg.TPU.USE_PALLAS = False
+    cfg.LFB.ENABLED = True
+    cfg.LFB.FBO_TYPE = 'nl'
+    cfg.LFB.WINDOW_SIZE = 4
+    return C.finalize(cfg)
+
+
+def test_train_step_on_8dev_mesh(eight_devices):
+    cfg = small_cfg()
+    spec = build_spec(cfg, 'train')
+    mesh = create_mesh(8)
+    params = init_params(jax.random.PRNGKey(0), spec)
+    trainable, frozen = split_params(spec, params)
+    mstate = opt.init_state(params, frozen_param_names(spec, params))
+
+    rng = np.random.RandomState(0)
+    batch = {
+        'data': 0.1 * rng.randn(8, 8, 32, 32, 3).astype(np.float32),
+        'labels': (rng.rand(8, 6) > 0.5).astype(np.float32),
+        'lfb': rng.randn(8, 4, 2048).astype(np.float32),
+    }
+    batch = shard_batch(mesh, batch)
+    step = make_train_step(spec, cfg.SOLVER, mesh)
+
+    loss0 = None
+    for i in range(3):
+        trainable, frozen, mstate, aux = step(
+            trainable, frozen, mstate, batch, jax.random.PRNGKey(i),
+            jnp.float32(1e-5))
+        loss = float(aux['loss'])
+        assert np.isfinite(loss)
+        if loss0 is None:
+            loss0 = loss
+    assert loss < loss0, (loss0, loss)  # optimizing the same batch decreases loss
+
+
+def test_dp_matches_single_device():
+    """Global-batch-mean DP on the mesh == single-device full-batch step."""
+    cfg = small_cfg()
+    spec = build_spec(cfg, 'train')
+    params = init_params(jax.random.PRNGKey(0), spec)
+    trainable, frozen = split_params(spec, params)
+    mstate = opt.init_state(params, frozen_param_names(spec, params))
+
+    rng = np.random.RandomState(1)
+    batch_np = {
+        'data': 0.1 * rng.randn(8, 8, 32, 32, 3).astype(np.float32),
+        'labels': (rng.rand(8, 6) > 0.5).astype(np.float32),
+        'lfb': rng.randn(8, 4, 2048).astype(np.float32),
+    }
+
+    mesh = create_mesh(8)
+    step_mesh = make_train_step(spec, cfg.SOLVER, mesh)
+    t1, f1, m1, aux1 = step_mesh(
+        dict(trainable), dict(frozen), mstate,
+        shard_batch(mesh, batch_np), jax.random.PRNGKey(9), jnp.float32(1e-5))
+
+    # The mesh step donates its inputs; rebuild identical params for the
+    # single-device run.
+    params2 = init_params(jax.random.PRNGKey(0), spec)
+    trainable2, frozen2 = split_params(spec, params2)
+    step_single = make_train_step(spec, cfg.SOLVER, mesh=None)
+    batch_dev = {k: jnp.array(v) for k, v in batch_np.items()}
+    mstate2 = opt.init_state(params2, frozen_param_names(spec, params2))
+    t2, f2, m2, aux2 = step_single(
+        trainable2, frozen2, mstate2, batch_dev,
+        jax.random.PRNGKey(9), jnp.float32(1e-5))
+
+    np.testing.assert_allclose(float(aux1['loss']), float(aux2['loss']),
+                               rtol=1e-5)
+    for k in ('pred_w', 'conv1_w', 'lfb_nl0_theta_w'):
+        np.testing.assert_allclose(np.asarray(t1[k]), np.asarray(t2[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_eval_step_sharded(eight_devices):
+    cfg = small_cfg()
+    spec = build_spec(cfg, 'test', lfb_infer_only=True)
+    mesh = create_mesh(8)
+    params = init_params(jax.random.PRNGKey(0), spec)
+    rng = np.random.RandomState(0)
+    batch = shard_batch(mesh, {
+        'data': rng.randn(8, 8, 32, 32, 3).astype(np.float32),
+    })
+    out = make_eval_step(spec, mesh)(params, batch)
+    assert out['pool5'].shape == (8, 2048)
