@@ -255,6 +255,10 @@ def default_config() -> Config:
     c.TPU.USE_PALLAS = True            # fused Pallas kernels where available
     c.TPU.REMAT = 'stage'              # '', 'stage', or 'block' rematerialization
     c.TPU.MESH_SHAPE = []              # e.g. [8] -> data mesh; [] -> all devices
+    # Fixed-shape padding cap for AVA boxes (XLA needs static shapes; the
+    # reference ships ragged per-box rows instead).  Keyframes with more
+    # boxes than this are truncated with a warning.
+    c.TPU.MAX_BOXES_PER_CLIP = 32
 
     return c
 

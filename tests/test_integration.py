@@ -1,0 +1,138 @@
+"""End-to-end integration on tiny synthetic datasets (decode -> train ->
+eval -> checkpoint; LFB extraction -> bank -> FBO training)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from lfb_tpu.core import config as C
+from tests import synthetic
+
+cv2 = pytest.importorskip('cv2')
+
+
+def tiny_cfg(overrides, **extra):
+    cfg = C.default_config()
+    synthetic.apply_overrides(cfg, overrides)
+    cfg.MODEL.MODEL_NAME = 'resnet_video'
+    cfg.MODEL.USE_AFFINE = True
+    cfg.NONLOCAL.USE_BN = False
+    cfg.NONLOCAL.USE_AFFINE = True
+    cfg.NONLOCAL.USE_ZERO_INIT_CONV = True
+    cfg.TRAIN.VIDEO_LENGTH = 4
+    cfg.TEST.VIDEO_LENGTH = 4
+    cfg.TRAIN.SAMPLE_RATE = 2
+    cfg.TEST.SAMPLE_RATE = 2
+    cfg.TRAIN.CROP_SIZE = 32
+    cfg.TEST.CROP_SIZE = 32
+    cfg.TEST.SCALE = 36
+    cfg.TRAIN.JITTER_SCALES = [36, 40]
+    cfg.TRAIN.BATCH_SIZE = 2
+    cfg.TEST.BATCH_SIZE = 2
+    cfg.NUM_GPUS = 2
+    cfg.TRAIN.DROPOUT_RATE = 0.0
+    cfg.TRAIN.COMPUTE_PRECISE_BN = False
+    cfg.SOLVER.MAX_ITER = 3
+    cfg.SOLVER.STEP_SIZES = [2, 1]
+    cfg.SOLVER.LRS = [1, 0.1]
+    cfg.SOLVER.BASE_LR = 1e-4
+    cfg.SOLVER.SCALE_MOMENTUM = True
+    cfg.TRAIN.EVAL_PERIOD = 1000
+    cfg.CHECKPOINT.CHECKPOINT_PERIOD = 2
+    cfg.LOG_PERIOD = 1
+    cfg.DATALOADER.NUM_WORKERS = 2
+    cfg.DATALOADER.PREFETCH_BATCHES = 2
+    cfg.TPU.COMPUTE_DTYPE = 'float32'
+    cfg.TPU.USE_PALLAS = False
+    cfg.TPU.MAX_BOXES_PER_CLIP = 4
+    for k, v in extra.items():
+        C.merge_cfg_from_list(cfg, [k, repr(v)])
+    return C.finalize(cfg)
+
+
+def test_epic_train_eval_checkpoint_resume(tmp_path):
+    from lfb_tpu.train.trainer import Trainer
+    from lfb_tpu.train import checkpoints as ckpt
+
+    cfg = tiny_cfg(synthetic.build_epic(str(tmp_path)))
+    cfg.CHECKPOINT.DIR = str(tmp_path / 'out')
+    cfg.TEST.DATASET_SIZE = 2
+
+    trainer = Trainer(cfg)
+    last = trainer.train()
+    assert last and os.path.isfile(last)
+    assert last.endswith('c2_model_iter3.pkl')
+
+    metrics = trainer.evaluate(name='final')
+    assert 'err' in metrics and 0 <= metrics['err'] <= 100
+    assert os.path.isfile(str(tmp_path / 'out' / 'epic_predictions_final.pkl'))
+
+    # Resume: a fresh Trainer picks up the checkpoint.
+    trainer2 = Trainer(cfg)
+    assert trainer2.start_iter == 3
+    np.testing.assert_allclose(
+        np.asarray(trainer2.trainable['pred_w']),
+        np.asarray(trainer.trainable['pred_w']), rtol=1e-6)
+
+
+def test_charades_lfb_extraction_and_fbo_training(tmp_path):
+    from lfb_tpu.bank import get_lfb
+    from lfb_tpu.train.trainer import Trainer
+
+    overrides = synthetic.build_charades(str(tmp_path))
+    cfg = tiny_cfg(overrides)
+    cfg.CHECKPOINT.DIR = str(tmp_path / 'out')
+    os.makedirs(cfg.CHECKPOINT.DIR, exist_ok=True)
+    cfg.TEST.DATA_TYPE = 'val'
+    cfg.LFB.ENABLED = True
+    cfg.LFB.FBO_TYPE = 'nl'
+    cfg.LFB.WINDOW_SIZE = 4
+    cfg.LFB.WRITE_LFB = True
+    C.finalize(cfg)
+
+    # Build a baseline checkpoint to infer the bank from.
+    from lfb_tpu.models import build_spec, init_params
+    from lfb_tpu.train import checkpoints as ckpt
+    base_spec = build_spec(cfg, 'val', lfb_infer_only=True)
+    base_params = {k: np.asarray(v) for k, v in init_params(
+        jax.random.PRNGKey(0), base_spec).items()}
+    base_file = str(tmp_path / 'baseline.pkl')
+    ckpt.save_params(base_file, base_params, model_iter=0, lr=0.01)
+
+    val_lfb = get_lfb(cfg, base_file, is_train=False)
+    train_lfb = get_lfb(cfg, base_file, is_train=True)
+    # 3 bank clips per video (freq 12 over 40 frames), 2048-d features.
+    assert len(val_lfb) == 2
+    some_video = next(iter(val_lfb.values()))
+    assert len(some_video) == 3
+    assert next(iter(some_video.values())).shape == (2048,)
+    # WRITE_LFB produced reference-format pickles.
+    assert os.path.isfile(str(tmp_path / 'out' / 'val_lfb.pkl'))
+
+    # Train 2 iters with the bank through the FBO-NL head.
+    cfg.SOLVER.MAX_ITER = 2
+    trainer = Trainer(cfg, train_lfb=train_lfb, test_lfb=val_lfb)
+    last = trainer.train()
+    assert last and os.path.isfile(last)
+
+
+def test_ava_train_and_pascal_eval(tmp_path):
+    from lfb_tpu.train.trainer import Trainer
+
+    cfg = tiny_cfg(synthetic.build_ava(str(tmp_path)))
+    cfg.CHECKPOINT.DIR = str(tmp_path / 'out')
+    cfg.SOLVER.MAX_ITER = 2
+    cfg.CHECKPOINT.CHECKPOINT_PERIOD = 1000
+    cfg.AVA.FULL_EVAL_DURING_TRAINING = True
+    C.finalize(cfg)
+
+    trainer = Trainer(cfg)
+    trainer.train()
+    metrics = trainer.evaluate(name='ava_final')
+    # Synthetic GT == predicted boxes, so the evaluator must run and emit a
+    # detections CSV + a valid mAP in [0, 1].
+    assert 0.0 <= metrics['full_map'] <= 1.0
+    assert os.path.isfile(str(tmp_path / 'out' / 'detections_ava_final.csv'))
