@@ -8,9 +8,13 @@ Measures the two-phase LFB inference flow of the reference's headline config
   phase B -- FBO inference: full model, RoIAlign head + 3-layer FBO-NL over
              a 300-row HBM-resident bank window.
 
+Timing runs the jitted step inside an on-device ``lax.fori_loop`` with a
+data dependency between iterations and a single scalar host fetch -- the
+only reliable wall-clock method on tunneled TPU backends where
+``block_until_ready`` can return early.
+
 Prints ONE JSON line:
-  {"metric": "clips/sec/chip (bank extraction + FBO inference)",
-   "value": N, "unit": "clips/sec/chip", "vs_baseline": R}
+  {"metric": "...", "value": N, "unit": "clips/sec/chip", "vs_baseline": R}
 
 The reference publishes no throughput numbers (SURVEY.md §6).  ``vs_baseline``
 is computed against a documented nominal estimate of the reference's per-GPU
@@ -28,27 +32,48 @@ import numpy as np
 REFERENCE_CLIPS_PER_SEC_PER_GPU = 8.0
 
 
-def main():
+def timed_device_loop(step_fn, args, iters):
+    """Run step_fn(args) -> pytree, `iters` times with an inter-iteration
+    dependency, entirely on device; returns seconds/iter."""
     import jax
     import jax.numpy as jnp
+
+    @jax.jit
+    def loop(args):
+        def body(i, carry):
+            args, acc = carry
+            out = step_fn(*args)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            dep = jnp.sum(leaf).astype(jnp.float32)
+            # Perturb the first arg tensor by 0*dep to serialize iterations.
+            first, *rest = args
+            first = first + (0.0 * dep).astype(first.dtype)
+            return ((first, *rest), acc + dep)
+        return jax.lax.fori_loop(0, iters, body, (args, jnp.float32(0)))[1]
+
+    float(loop(args))  # compile + warm
+    t0 = time.perf_counter()
+    float(loop(args))
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
     from lfb_tpu.models import build_spec, forward, init_params
     from __graft_entry__ import _flagship_cfg
 
     cfg = _flagship_cfg(tiny=False)
-    batch_clips = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    batch_clips = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     boxes_per_clip = 4
     n_boxes = batch_clips * boxes_per_clip
     t, crop = cfg.TEST.VIDEO_LENGTH, cfg.TEST.CROP_SIZE
 
-    # --- build both phases' models -------------------------------------- #
     spec_extract = build_spec(cfg, 'test', lfb_infer_only=True)
     spec_full = build_spec(cfg, 'test')
-    params = init_params(jax.random.PRNGKey(0), spec_full)
-    params = jax.device_put(
-        {k: v.astype(jnp.float32) for k, v in params.items()})
-    extract_params = jax.device_put(
-        {k: v for k, v in params.items()
-         if k in init_params(jax.random.PRNGKey(0), spec_extract)})
+    params = jax.device_put(init_params(jax.random.PRNGKey(0), spec_full))
+    extract_names = set(init_params(jax.random.PRNGKey(0), spec_extract))
+    extract_params = {k: v for k, v in params.items() if k in extract_names}
 
     rng = np.random.RandomState(0)
     data = jax.device_put(
@@ -62,32 +87,22 @@ def main():
     lfb = jax.device_put(rng.randn(
         n_boxes, spec_full.fbo.num_lfb_feat, 2048).astype(np.float32))
 
-    @jax.jit
-    def extract_step(p, data, proposals):
+    def extract_step(data, p, proposals):
         return forward(spec_extract, p, {'data': data, 'proposals': proposals},
                        train=False)['box_pooled']
 
-    @jax.jit
-    def infer_step(p, data, proposals, lfb):
+    def infer_step(data, p, proposals, lfb):
         return forward(spec_full, p,
                        {'data': data, 'proposals': proposals, 'lfb': lfb},
                        train=False)['prob']
 
-    # --- warmup (compile) ------------------------------------------------ #
-    jax.block_until_ready(extract_step(extract_params, data, proposals))
-    jax.block_until_ready(infer_step(params, data, proposals, lfb))
+    dt_extract = timed_device_loop(extract_step,
+                                   (data, extract_params, proposals), iters)
+    dt_infer = timed_device_loop(infer_step,
+                                 (data, params, proposals, lfb), iters)
 
-    # --- timed loop: alternate extraction and FBO inference -------------- #
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        a = extract_step(extract_params, data, proposals)
-        b = infer_step(params, data, proposals, lfb)
-    jax.block_until_ready((a, b))
-    elapsed = time.perf_counter() - t0
-
-    total_clips = 2 * iters * batch_clips   # both phases process a clip batch
-    clips_per_sec = total_clips / elapsed
+    # The two-phase flow processes each clip once per phase.
+    clips_per_sec = 2 * batch_clips / (dt_extract + dt_infer)
     print(json.dumps({
         'metric': 'clips/sec/chip (bank extraction + FBO inference)',
         'value': round(clips_per_sec, 2),

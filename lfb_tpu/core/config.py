@@ -253,6 +253,10 @@ def default_config() -> Config:
     c.TPU.COMPUTE_DTYPE = 'bfloat16'   # activations/matmul dtype
     c.TPU.PARAM_DTYPE = 'float32'      # master weights
     c.TPU.USE_PALLAS = True            # fused Pallas kernels where available
+    # Pack the stem conv 2x2 into channels for MXU efficiency (1.8x faster
+    # stem).  Off by default: the packed conv shape triggers nondeterministic
+    # multi-minute compiles on some XLA:TPU remote-compile services.
+    c.TPU.CONV1_SPACE_TO_DEPTH = False
     c.TPU.REMAT = 'stage'              # '', 'stage', or 'block' rematerialization
     c.TPU.MESH_SHAPE = []              # e.g. [8] -> data mesh; [] -> all devices
     # Fixed-shape padding cap for AVA boxes (XLA needs static shapes; the

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from lfb_tpu.models.layers import (Params, apply_norm, init_conv, init_norm)
 from lfb_tpu.models.spec import STAGE_DIMS, ModelSpec
 from lfb_tpu.ops.attention import scaled_softmax_attention
-from lfb_tpu.ops.conv3d import conv1x1, conv3d
+from lfb_tpu.ops.conv3d import conv1_space_to_depth, conv1x1, conv3d
 from lfb_tpu.ops.pooling import max_pool_3d
 
 
@@ -112,9 +112,14 @@ def backbone_forward(spec: ModelSpec, params: Params, x: jax.Array, *,
         apply_norm, params, use_affine=spec.use_affine, train=train,
         epsilon=spec.bn_epsilon, bn_updates=bn_updates)
 
-    kt1 = 1 + use_temp[0][0] * 2
-    h = conv3d(x, params['conv1_w'], strides=(temp_strides[0][0], 2, 2),
-               padding=(use_temp[0][0], 3, 3))
+    B, T, H, W, _ = x.shape
+    if (spec.use_conv1_s2d and H % 2 == 0 and W % 2 == 0
+            and temp_strides[0][0] == 1):
+        h = conv1_space_to_depth(x, params['conv1_w'],
+                                 temporal_pad=use_temp[0][0])
+    else:
+        h = conv3d(x, params['conv1_w'], strides=(temp_strides[0][0], 2, 2),
+                   padding=(use_temp[0][0], 3, 3))
     h = norm('res_conv1_bn', h)
     h = jax.nn.relu(h)
     h = max_pool_3d(h, (1, 3, 3), (1, 2, 2), (0, 1, 1))

@@ -116,6 +116,7 @@ class ModelSpec:
     roi_spatial_scale: float = 1.0 / 16.0
     compute_dtype: str = 'bfloat16'
     use_pallas: bool = True
+    use_conv1_s2d: bool = False
     remat: str = 'stage'
 
     @property
@@ -220,5 +221,7 @@ def build_spec(cfg, split: str, lfb_infer_only: bool = False) -> ModelSpec:
         roi_spatial_scale=1.0 / cfg.ROI.SCALE_FACTOR,
         compute_dtype=cfg.TPU.COMPUTE_DTYPE,
         use_pallas=cfg.TPU.USE_PALLAS,
+        use_conv1_s2d=cfg.TPU['CONV1_SPACE_TO_DEPTH']
+        if 'CONV1_SPACE_TO_DEPTH' in cfg.TPU else False,
         remat=cfg.TPU.REMAT,
     )

@@ -170,3 +170,21 @@ def test_roi_align_fixed_sampling_ratio():
                     spatial_scale=1 / 16.0, sampling_ratio=2)
     assert out.shape == (1, 4, 4, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_conv1_space_to_depth_equivalence():
+    from lfb_tpu.ops.conv3d import conv1_space_to_depth
+    rng = np.random.RandomState(0)
+    x = jnp.array(rng.randn(2, 6, 16, 16, 3).astype(np.float32))
+    w = jnp.array(rng.randn(5, 7, 7, 3, 8).astype(np.float32))
+    ref = conv3d(x, w, strides=(1, 2, 2), padding=(2, 3, 3))
+    out = conv1_space_to_depth(x, w, temporal_pad=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    # C2D stem (kT=1, pad 0) must also match.
+    w1 = jnp.array(rng.randn(1, 7, 7, 3, 8).astype(np.float32))
+    ref1 = conv3d(x, w1, strides=(1, 2, 2), padding=(0, 3, 3))
+    out1 = conv1_space_to_depth(x, w1, temporal_pad=0)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(ref1),
+                               rtol=1e-4, atol=1e-4)
