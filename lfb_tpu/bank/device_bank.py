@@ -1,0 +1,247 @@
+"""HBM-resident long-term feature bank with on-device window gather.
+
+The reference ships each example's bank window through the input pipeline as
+a (W*K, 2048) host-assembled blob (``lib/datasets/ava.py:300-323``) -- for
+an AVA batch of 16 clips x 4 boxes that is ~150 MB of host->device traffic
+per step.  TPU-natively the whole bank lives in HBM once (1-4 GB,
+``GETTING_STARTED.md:45``) and each step gathers windows on device from
+tiny (video_idx, center) index pairs.
+
+Two bank layouts:
+
+  * :class:`AvaDeviceBank` -- per-(video, second) feature lists; window
+    sampling keeps <=K random features per second (zero-padded), matching
+    host ``sample_lfb_window`` semantics.
+  * :class:`FrameDeviceBank` -- per-video frame-indexed features
+    (Charades / EPIC-verb); window sampling takes the first W features
+    whose frame id falls in the window, exactly like the host samplers
+    (``charades.py:251-276``, ``epic.py:310-331``).
+
+Gathers are pure jittable functions of int32 index arrays, so they run
+inside the train/eval step on the accelerator.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+AVA_SEC_BASE = 902
+AVA_NUM_SECS = 897  # seconds 902..1798
+
+
+class AvaDeviceBank:
+    """Packed AVA bank: flat features + (video, sec, slot) index table."""
+
+    def __init__(self, feats: jax.Array, table: jax.Array, counts: jax.Array,
+                 *, window_size: int, k: int):
+        self.feats = feats          # (R+1, D); row R is the zero row
+        self.table = table          # (V, AVA_NUM_SECS, K_store) row ids
+        self.counts = counts        # (V, AVA_NUM_SECS) valid slots
+        self.window_size = window_size
+        self.k = k
+
+    def num_videos(self) -> int:
+        return self.table.shape[0]
+
+    @classmethod
+    def build(cls, host_bank: Dict[int, Dict[int, list]], *, window_size: int,
+              k: int, lfb_dim: int = 2048, k_store: int = 16,
+              dtype=jnp.float32) -> 'AvaDeviceBank':
+        num_videos = max(host_bank.keys()) + 1 if host_bank else 0
+        rows = []
+        table = np.full((num_videos, AVA_NUM_SECS, k_store), -1, np.int32)
+        counts = np.zeros((num_videos, AVA_NUM_SECS), np.int32)
+        for video, secs in host_bank.items():
+            for sec, feats in secs.items():
+                si = sec - AVA_SEC_BASE
+                if not 0 <= si < AVA_NUM_SECS:
+                    continue
+                n = min(len(feats), k_store)
+                counts[video, si] = n
+                for j in range(n):
+                    table[video, si, j] = len(rows)
+                    rows.append(np.asarray(feats[j], np.float32))
+        zero_row = np.zeros((lfb_dim,), np.float32)
+        flat = np.stack(rows + [zero_row]) if rows else zero_row[None]
+        zero_idx = flat.shape[0] - 1
+        table = np.where(table < 0, zero_idx, table)
+        return cls(jnp.asarray(flat, dtype), jnp.asarray(table),
+                   jnp.asarray(counts), window_size=window_size, k=k)
+
+    def gather(self, video_idx: jax.Array, sec: jax.Array,
+               rng: jax.Array) -> jax.Array:
+        """(N,) video ids + (N,) keyframe seconds -> (N, W*K, D) windows.
+
+        Per second, min(count, K) features are chosen uniformly without
+        replacement into the leading slots; remaining slots are zero
+        (matching host ``sample_lfb_window``).
+        """
+        W, K = self.window_size, self.k
+        k_store = self.table.shape[-1]
+        N = video_idx.shape[0]
+
+        lower = sec.astype(jnp.int32) - W // 2 - AVA_SEC_BASE     # (N,)
+        sec_idx = lower[:, None] + jnp.arange(W, dtype=jnp.int32)  # (N, W)
+        in_range = (sec_idx >= 0) & (sec_idx < AVA_NUM_SECS)
+        sec_clamped = jnp.clip(sec_idx, 0, AVA_NUM_SECS - 1)
+
+        vid = video_idx.astype(jnp.int32)[:, None]
+        counts = jnp.where(in_range, self.counts[vid, sec_clamped], 0)  # (N,W)
+        slots = self.table[vid, sec_clamped]                        # (N,W,Ks)
+
+        # Random distinct slots: sort uniforms, invalid slots pushed last.
+        u = jax.random.uniform(rng, (N, W, k_store))
+        u = u + (jnp.arange(k_store) >= counts[..., None]) * 10.0
+        order = jnp.argsort(u, axis=-1)[..., :K]                    # (N,W,K)
+        chosen = jnp.take_along_axis(slots, order, axis=-1)
+        valid = jnp.arange(K) < jnp.minimum(counts, K)[..., None]   # (N,W,K)
+
+        zero_idx = self.feats.shape[0] - 1
+        chosen = jnp.where(valid, chosen, zero_idx)
+        window = self.feats[chosen.reshape(N, W * K)]               # (N,W*K,D)
+        return window
+
+
+class FrameDeviceBank:
+    """Packed frame-level bank: flat features + per-video sorted frame ids.
+
+    ``window_mode`` + fps/clips_per_second define how a clip center maps to
+    a [begin, end] frame window ('charades' or 'epic_verb').
+    """
+
+    def __init__(self, feats: jax.Array, frame_ids: jax.Array,
+                 rows: jax.Array, *, window_size: int,
+                 window_mode: str = 'charades', fps: int = 24,
+                 clips_per_second: int = 2):
+        self.feats = feats          # (R+1, D); last row zero
+        self.frame_ids = frame_ids  # (V, M) sorted, -1 padded
+        self.rows = rows            # (V, M) row ids (zero row where padded)
+        self.window_size = window_size
+        self.window_mode = window_mode
+        self.fps = fps
+        self.clips_per_second = clips_per_second
+
+    def num_videos(self) -> int:
+        return self.frame_ids.shape[0]
+
+    def window(self, center: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        if self.window_mode == 'charades':
+            return charades_window(center, window_size=self.window_size,
+                                   clips_per_second=self.clips_per_second,
+                                   fps=self.fps)
+        assert self.window_mode == 'epic_verb', self.window_mode
+        return epic_verb_window(center, window_size=self.window_size,
+                                fps=self.fps)
+
+    def gather_centers(self, video_idx: jax.Array,
+                       center: jax.Array) -> jax.Array:
+        begin, end = self.window(center)
+        return self.gather(video_idx, begin, end)
+
+    @classmethod
+    def build(cls, host_bank: Dict, video_key_to_idx=None, *,
+              window_size: int, lfb_dim: int = 2048,
+              window_mode: str = 'charades', fps: int = 24,
+              clips_per_second: int = 2,
+              dtype=jnp.float32) -> 'FrameDeviceBank':
+        """``host_bank`` is {video_key: {frame: feat}}; ``video_key_to_idx``
+        maps keys to dense indices (identity for int keys)."""
+        if video_key_to_idx is None:
+            video_key_to_idx = {k: int(k) for k in host_bank}
+        num_videos = max(video_key_to_idx.values()) + 1 if host_bank else 0
+        # At least window_size columns so a gather can always yield W rows.
+        max_entries = max(max((len(v) for v in host_bank.values()), default=1),
+                          window_size)
+        frame_ids = np.full((num_videos, max_entries), -1, np.int32)
+        rows_tab = np.zeros((num_videos, max_entries), np.int32)
+        rows = []
+        for key, frames in host_bank.items():
+            vi = video_key_to_idx[key]
+            for j, frame in enumerate(sorted(frames)):
+                frame_ids[vi, j] = frame
+                rows_tab[vi, j] = len(rows)
+                rows.append(np.asarray(frames[frame], np.float32))
+        zero_row = np.zeros((lfb_dim,), np.float32)
+        flat = np.stack(rows + [zero_row]) if rows else zero_row[None]
+        zero_idx = flat.shape[0] - 1
+        rows_tab = np.where(frame_ids < 0, zero_idx, rows_tab)
+        return cls(jnp.asarray(flat, dtype), jnp.asarray(frame_ids),
+                   jnp.asarray(rows_tab), window_size=window_size,
+                   window_mode=window_mode, fps=fps,
+                   clips_per_second=clips_per_second)
+
+    def gather(self, video_idx: jax.Array, begin: jax.Array,
+               end: jax.Array) -> jax.Array:
+        """(N,) video ids + window [begin, end] (inclusive, in frames) ->
+        (N, W, D): the first W bank entries within the window, in frame
+        order, zero-padded."""
+        W = self.window_size
+        N = video_idx.shape[0]
+        vid = video_idx.astype(jnp.int32)
+        fids = self.frame_ids[vid]                     # (N, M)
+        rows = self.rows[vid]                          # (N, M)
+        M = fids.shape[-1]
+
+        valid = (fids >= 0) & (fids >= begin[:, None]) & (fids <= end[:, None])
+        # Order-preserving selection of the first W valid entries.
+        key = jnp.where(valid, jnp.arange(M, dtype=jnp.int32), M + 1)
+        order = jnp.argsort(key, axis=-1)[:, :W]       # (N, W)
+        chosen_valid = jnp.take_along_axis(valid, order, axis=-1)
+        chosen_rows = jnp.take_along_axis(rows, order, axis=-1)
+        zero_idx = self.feats.shape[0] - 1
+        chosen_rows = jnp.where(chosen_valid, chosen_rows, zero_idx)
+        return self.feats[chosen_rows]                 # (N, W, D)
+
+
+def build_device_bank(cfg, host_bank: Dict, video_name_to_idx=None):
+    """Convert a host bank (from :func:`lfb_tpu.bank.get_lfb`) into the
+    HBM-resident form for the configured dataset.
+
+    EPIC noun banks (multi-feature detector frames, ``epic.py:338-374``)
+    keep the host sampling path -- their ragged per-frame layout and
+    early-exit fill rule do not map to a fixed gather; returns None there.
+    """
+    if cfg.DATASET == 'ava':
+        return AvaDeviceBank.build(
+            host_bank, window_size=cfg.LFB.WINDOW_SIZE,
+            k=cfg.AVA.LFB_MAX_NUM_FEAT_PER_STEP, lfb_dim=cfg.LFB.LFB_DIM)
+    if cfg.DATASET == 'charades':
+        return FrameDeviceBank.build(
+            host_bank, window_size=cfg.LFB.WINDOW_SIZE,
+            lfb_dim=cfg.LFB.LFB_DIM, window_mode='charades',
+            fps=cfg.CHARADES.FPS,
+            clips_per_second=cfg.CHARADES.LFB_CLIPS_PER_SECOND)
+    if cfg.DATASET == 'epic':
+        if cfg.EPIC.CLASS_TYPE == 'noun':
+            return None
+        assert video_name_to_idx is not None, \
+            'EPIC verb banks are keyed by video name'
+        return FrameDeviceBank.build(
+            host_bank, video_name_to_idx, window_size=cfg.LFB.WINDOW_SIZE,
+            lfb_dim=cfg.LFB.LFB_DIM, window_mode='epic_verb',
+            fps=cfg.EPIC.FPS)
+    raise ValueError(cfg.DATASET)
+
+
+def charades_window(center_idx: jax.Array, *, window_size: int,
+                    clips_per_second: int, fps: int
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """[begin, end] frame window for Charades (reference
+    ``charades.py:259-261``)."""
+    secs = window_size // clips_per_second
+    begin = jnp.round(center_idx.astype(jnp.float32)
+                      - (float(secs) / 2.0 * fps)).astype(jnp.int32)
+    return begin, begin + secs * fps
+
+
+def epic_verb_window(center_idx: jax.Array, *, window_size: int,
+                     fps: int) -> Tuple[jax.Array, jax.Array]:
+    """[lower, upper] frame window for EPIC verbs (reference
+    ``epic.py:312-316``)."""
+    half_len = (window_size * fps) // 2
+    c = center_idx.astype(jnp.int32)
+    return c - half_len, c + half_len

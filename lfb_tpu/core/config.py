@@ -259,6 +259,10 @@ def default_config() -> Config:
     c.TPU.CONV1_SPACE_TO_DEPTH = False
     c.TPU.REMAT = 'stage'              # '', 'stage', or 'block' rematerialization
     c.TPU.MESH_SHAPE = []              # e.g. [8] -> data mesh; [] -> all devices
+    # Keep the LFB in HBM and gather windows on device instead of shipping
+    # per-example windows through the input pipeline (parity-identical for
+    # AVA/Charades/EPIC-verb; EPIC-noun always uses the host path).
+    c.TPU.DEVICE_BANK = False
     # Fixed-shape padding cap for AVA boxes (XLA needs static shapes; the
     # reference ships ragged per-box rows instead).  Keyframes with more
     # boxes than this are truncated with a warning.

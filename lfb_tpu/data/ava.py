@@ -162,9 +162,18 @@ class AvaDataset:
 
         if self.lfb_enabled:
             assert lfb is not None
+            if (cfg.TPU.DEVICE_BANK and not hasattr(lfb, 'gather')):
+                from lfb_tpu.bank.device_bank import build_device_bank
+                lfb = build_device_bank(cfg, lfb) or lfb
             self.lfb = lfb
-            assert len(self.image_paths) == len(self.lfb), \
-                (len(self.image_paths), len(self.lfb))
+            # A device bank gathers windows on-device from (video, sec)
+            # already present in the metadata blob; no host windows needed.
+            self.device_bank = hasattr(lfb, 'gather')
+            n_bank = (lfb.num_videos() if self.device_bank else len(lfb))
+            assert len(self.image_paths) == n_bank, \
+                (len(self.image_paths), n_bank)
+        else:
+            self.device_bank = False
         logger.info('AVA %s: %d videos, %d keyframes, %d boxes',
                     split, len(self.image_paths), self.db_size(),
                     self.num_boxes_used)
@@ -189,7 +198,8 @@ class AvaDataset:
         metadata = np.zeros((n_max, 4), np.float32)
         box_mask = np.zeros((n_max,), np.float32)
         lfb_rows = (np.zeros((n_max, cfg.LFB.NUM_LFB_FEAT, cfg.LFB.LFB_DIM),
-                             np.float32) if self.lfb_enabled else None)
+                             np.float32)
+                    if self.lfb_enabled and not self.device_bank else None)
 
         row = 0
         for b, idx in enumerate(indices):
@@ -217,7 +227,7 @@ class AvaDataset:
             data[b] = clip
 
             window = None
-            if self.lfb_enabled:
+            if self.lfb_enabled and not self.device_bank:
                 window = sample_lfb_window(
                     self.lfb[video_idx], sec,
                     window_size=cfg.LFB.WINDOW_SIZE,

@@ -120,8 +120,16 @@ class CharadesDataset:
             logger.info('Charades LFB inference: %d clips in %d videos',
                         len(self.lfb_frames), self.num_videos)
         if self.lfb_enabled:
-            assert lfb is not None and len(self.image_paths) == len(lfb)
+            assert lfb is not None
+            if cfg.TPU.DEVICE_BANK and not hasattr(lfb, 'gather'):
+                from lfb_tpu.bank.device_bank import build_device_bank
+                lfb = build_device_bank(cfg, lfb) or lfb
             self.lfb = lfb
+            self.device_bank = hasattr(lfb, 'gather')
+            n_bank = lfb.num_videos() if self.device_bank else len(lfb)
+            assert len(self.image_paths) == n_bank
+        else:
+            self.device_bank = False
         logger.info('Charades %s: %d videos', split, self.num_videos)
 
     def db_size(self) -> int:
@@ -140,7 +148,12 @@ class CharadesDataset:
         data = np.zeros((B, self.video_length, S, S, 3), np.float32)
         labels = np.zeros((B, cfg.MODEL.NUM_CLASSES), np.float32)
         lfb_rows = (np.zeros((B, cfg.LFB.WINDOW_SIZE, cfg.LFB.LFB_DIM),
-                             np.float32) if self.lfb_enabled else None)
+                             np.float32)
+                    if self.lfb_enabled and not self.device_bank else None)
+        lfb_video_idx = (np.zeros((B,), np.int32)
+                         if self.lfb_enabled and self.device_bank else None)
+        lfb_center = (np.zeros((B,), np.int32)
+                      if self.lfb_enabled and self.device_bank else None)
 
         for b, idx in enumerate(indices):
             if self.lfb_infer_only:
@@ -177,13 +190,20 @@ class CharadesDataset:
                 labels[b, lbl] = 1.0
 
             if self.lfb_enabled:
-                lfb_rows[b] = sample_lfb_window(
-                    self.lfb[video_idx], center_idx,
-                    window_size=cfg.LFB.WINDOW_SIZE,
-                    clips_per_second=cfg.CHARADES.LFB_CLIPS_PER_SECOND,
-                    fps=cfg.CHARADES.FPS, lfb_dim=cfg.LFB.LFB_DIM)
+                if self.device_bank:
+                    lfb_video_idx[b] = video_idx
+                    lfb_center[b] = center_idx
+                else:
+                    lfb_rows[b] = sample_lfb_window(
+                        self.lfb[video_idx], center_idx,
+                        window_size=cfg.LFB.WINDOW_SIZE,
+                        clips_per_second=cfg.CHARADES.LFB_CLIPS_PER_SECOND,
+                        fps=cfg.CHARADES.FPS, lfb_dim=cfg.LFB.LFB_DIM)
 
         batch = {'data': data, 'labels': labels}
         if lfb_rows is not None:
             batch['lfb'] = lfb_rows
+        if lfb_video_idx is not None:
+            batch['lfb_video_idx'] = lfb_video_idx
+            batch['lfb_center'] = lfb_center
         return batch

@@ -176,9 +176,17 @@ class EpicDataset:
                           else cfg.TEST.CROP_SIZE)
 
         if self.lfb_enabled:
-            assert lfb is not None and len(self.image_paths) == len(lfb), \
-                (len(self.image_paths), len(lfb) if lfb else None)
+            assert lfb is not None
+            if cfg.TPU.DEVICE_BANK and not hasattr(lfb, 'gather'):
+                from lfb_tpu.bank.device_bank import build_device_bank
+                lfb = build_device_bank(cfg, lfb, self.video_name_to_idx) or lfb
             self.lfb = lfb
+            self.device_bank = hasattr(lfb, 'gather')
+            n_bank = lfb.num_videos() if self.device_bank else len(lfb)
+            assert len(self.image_paths) == n_bank, \
+                (len(self.image_paths), n_bank)
+        else:
+            self.device_bank = False
 
     def db_size(self) -> int:
         return len(self.annotations)
@@ -206,7 +214,12 @@ class EpicDataset:
         data = np.zeros((B, self.video_length, S, S, 3), np.float32)
         labels = np.zeros((B,), np.int32)
         lfb_rows = (np.zeros((B, cfg.LFB.WINDOW_SIZE, cfg.LFB.LFB_DIM),
-                             np.float32) if self.lfb_enabled else None)
+                             np.float32)
+                    if self.lfb_enabled and not self.device_bank else None)
+        lfb_video_idx = (np.zeros((B,), np.int32)
+                         if self.lfb_enabled and self.device_bank else None)
+        lfb_center = (np.zeros((B,), np.int32)
+                      if self.lfb_enabled and self.device_bank else None)
         shift = CENTER_CROP_INDEX if self.shift is None else self.shift
 
         for b, idx in enumerate(indices):
@@ -227,9 +240,16 @@ class EpicDataset:
             data[b] = clip
             labels[b] = verb if cfg.EPIC.CLASS_TYPE == 'verb' else noun
             if self.lfb_enabled:
-                lfb_rows[b] = self.sample_lfb(video_name, center_idx)
+                if self.device_bank:
+                    lfb_video_idx[b] = self.video_name_to_idx[video_name]
+                    lfb_center[b] = center_idx
+                else:
+                    lfb_rows[b] = self.sample_lfb(video_name, center_idx)
 
         batch = {'data': data, 'labels': labels}
         if lfb_rows is not None:
             batch['lfb'] = lfb_rows
+        if lfb_video_idx is not None:
+            batch['lfb_video_idx'] = lfb_video_idx
+            batch['lfb_center'] = lfb_center
         return batch

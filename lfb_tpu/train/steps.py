@@ -29,7 +29,27 @@ def split_params(spec: ModelSpec, params: Dict[str, jax.Array]):
     return trainable, frozen
 
 
-def make_train_step(spec: ModelSpec, solver, mesh=None):
+def _inject_device_bank_lfb(spec: ModelSpec, bank, batch, rng):
+    """Gather bank windows on-device when a DeviceBank is in play.
+
+    AVA windows key off the metadata blob's (video_idx, sec) columns; the
+    clip-level datasets emit explicit (lfb_video_idx, lfb_center) index
+    pairs.  Returns a batch with the materialized 'lfb' blob.
+    """
+    if bank is None or not spec.fbo.enabled or 'lfb' in batch:
+        return batch
+    batch = dict(batch)
+    if spec.head_type == 'roi':
+        meta = batch['metadata']
+        batch['lfb'] = bank.gather(meta[:, 0].astype(jnp.int32),
+                                   meta[:, 1].astype(jnp.int32), rng)
+    else:
+        batch['lfb'] = bank.gather_centers(batch['lfb_video_idx'],
+                                           batch['lfb_center'])
+    return batch
+
+
+def make_train_step(spec: ModelSpec, solver, mesh=None, bank=None):
     """Build the jitted train step.
 
     Signature of the returned fn:
@@ -44,6 +64,9 @@ def make_train_step(spec: ModelSpec, solver, mesh=None):
     bn_momentum = float(spec.bn_momentum)
 
     def step(trainable, frozen, mstate, batch, rng, lr):
+        bank_rng, rng = jax.random.split(rng)
+        batch = _inject_device_bank_lfb(spec, bank, batch, bank_rng)
+
         def loss_fn(trainable):
             params = {**trainable, **frozen}
             out = forward(spec, params, batch, train=True, rng=rng)
@@ -83,10 +106,13 @@ def make_train_step(spec: ModelSpec, solver, mesh=None):
     )
 
 
-def make_eval_step(spec: ModelSpec, mesh=None, with_loss: bool = False):
+def make_eval_step(spec: ModelSpec, mesh=None, with_loss: bool = False,
+                   bank=None, bank_seed: int = 0):
     """Build the jitted eval/LFB-extraction step: params, batch -> outputs."""
 
     def step(params, batch):
+        batch = _inject_device_bank_lfb(
+            spec, bank, batch, jax.random.PRNGKey(bank_seed))
         out = forward(spec, params, batch, train=False, rng=None)
         keep = {}
         for key in ('prob', 'logits', 'pool5', 'box_pooled'):

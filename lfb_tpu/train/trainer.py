@@ -80,8 +80,18 @@ class Trainer:
             self.mstate = opt.SGDState(momentum={
                 k: jnp.asarray(momentum[k]) for k in trainable})
 
-        self.train_step = make_train_step(self.spec, cfg.SOLVER, self.mesh)
-        self.eval_step = make_eval_step(self.test_spec, self.mesh)
+        # Datasets convert host banks to device banks under TPU.DEVICE_BANK;
+        # read the (possibly converted) bank back for the jitted steps.
+        train_bank = getattr(self.train_db, 'lfb', None)
+        if not hasattr(train_bank, 'gather'):
+            train_bank = None
+        test_bank = getattr(self.test_db, 'lfb', None)
+        if not hasattr(test_bank, 'gather'):
+            test_bank = None
+        self.train_step = make_train_step(self.spec, cfg.SOLVER, self.mesh,
+                                          bank=train_bank)
+        self.eval_step = make_eval_step(self.test_spec, self.mesh,
+                                        bank=test_bank, bank_seed=cfg.RNG_SEED)
 
         # Meters.
         self.train_meter = MetricsCalculator(

@@ -1,0 +1,144 @@
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lfb_tpu.bank.device_bank import (AvaDeviceBank, FrameDeviceBank,
+                                      charades_window, epic_verb_window)
+from lfb_tpu.data.ava import sample_lfb_window as host_ava_sample
+from lfb_tpu.data.charades import sample_lfb_window as host_charades_sample
+from lfb_tpu.data.epic import sample_verb_lfb as host_epic_sample
+
+
+def make_ava_bank(dim=8, seed=0):
+    rng = np.random.RandomState(seed)
+    bank = {0: {}, 1: {}}
+    for sec in range(902, 912):
+        n = rng.randint(0, 4)
+        if n:
+            bank[0][sec] = [rng.randn(dim).astype(np.float32)
+                            for _ in range(n)]
+    bank[1][905] = [rng.randn(dim).astype(np.float32) for _ in range(7)]
+    return bank
+
+
+def test_ava_device_bank_matches_host_sets():
+    dim, W, K = 8, 6, 2
+    bank = make_ava_bank(dim)
+    dev = AvaDeviceBank.build(bank, window_size=W, k=K, lfb_dim=dim)
+    out = dev.gather(jnp.array([0, 1]), jnp.array([905, 905]),
+                     jax.random.PRNGKey(0))
+    assert out.shape == (2, W * K, dim)
+    out = np.asarray(out)
+
+    for b, video in enumerate((0, 1)):
+        host = host_ava_sample(bank[video], 905, window_size=W, k=K,
+                               lfb_dim=dim, rng=np.random.default_rng(0))
+        for j, sec in enumerate(range(905 - W // 2, 905 - W // 2 + W)):
+            feats = bank[video].get(sec, [])
+            n_used = min(len(feats), K)
+            block = out[b, j * K:(j + 1) * K]
+            # first n_used rows are distinct bank features of this sec
+            bank_set = {tuple(np.round(f, 5)) for f in feats}
+            got = [tuple(np.round(r, 5)) for r in block[:n_used]]
+            assert set(got) <= bank_set and len(set(got)) == n_used
+            # remaining rows zero
+            assert np.abs(block[n_used:]).sum() == 0
+            # host block has the same structure
+            hblock = host[j * K:(j + 1) * K]
+            assert np.abs(hblock[n_used:]).sum() == 0
+
+
+def test_frame_device_bank_matches_host_charades():
+    dim, W = 8, 4
+    rng = np.random.RandomState(0)
+    bank = {0: {11: rng.randn(dim).astype(np.float32),
+                23: rng.randn(dim).astype(np.float32),
+                35: rng.randn(dim).astype(np.float32)},
+            1: {5: rng.randn(dim).astype(np.float32)}}
+    dev = FrameDeviceBank.build(bank, window_size=W, lfb_dim=dim)
+
+    for video, center in [(0, 20), (0, 0), (1, 5), (1, 300)]:
+        host = host_charades_sample(bank[video], center, window_size=W,
+                                    clips_per_second=2, fps=24, lfb_dim=dim)
+        begin, end = charades_window(jnp.array([center]), window_size=W,
+                                     clips_per_second=2, fps=24)
+        out = np.asarray(dev.gather(jnp.array([video]), begin, end))[0]
+        np.testing.assert_allclose(out, host, rtol=1e-6, err_msg=str((video, center)))
+
+
+def test_frame_device_bank_matches_host_epic_verb():
+    dim, W = 8, 3
+    rng = np.random.RandomState(1)
+    bank = {'P01_00': {30 * i: rng.randn(dim).astype(np.float32)
+                       for i in range(6)}}
+    key_to_idx = {'P01_00': 0}
+    dev = FrameDeviceBank.build(bank, key_to_idx, window_size=W, lfb_dim=dim)
+    for center in (45, 0, 500):
+        host = host_epic_sample(bank['P01_00'], center, window_size=W,
+                                fps=30, lfb_dim=dim)
+        lo, hi = epic_verb_window(jnp.array([center]), window_size=W, fps=30)
+        out = np.asarray(dev.gather(jnp.array([0]), lo, hi))[0]
+        np.testing.assert_allclose(out, host, rtol=1e-6, err_msg=str(center))
+
+
+def test_gather_is_jittable():
+    dim, W, K = 8, 4, 2
+    bank = make_ava_bank(dim)
+    dev = AvaDeviceBank.build(bank, window_size=W, k=K, lfb_dim=dim)
+    fn = jax.jit(lambda v, s, r: dev.gather(v, s, r))
+    out = fn(jnp.array([0]), jnp.array([905]), jax.random.PRNGKey(1))
+    assert out.shape == (1, W * K, dim)
+
+
+def test_charades_device_bank_end_to_end_matches_host(tmp_path):
+    """Eval logits with TPU.DEVICE_BANK must equal the host-window path
+    (Charades gathers are deterministic)."""
+    import pytest
+    pytest.importorskip('cv2')
+    from tests import synthetic
+    from lfb_tpu.core import config as C
+    from lfb_tpu.data.loader import get_input_db
+    from lfb_tpu.data.frame_lists import load_image_lists
+    from lfb_tpu.models import build_spec, init_params
+    from lfb_tpu.train.steps import make_eval_step
+
+    overrides = synthetic.build_charades(str(tmp_path))
+    cfg = C.default_config()
+    synthetic.apply_overrides(cfg, overrides)
+    cfg.TRAIN.VIDEO_LENGTH = cfg.TEST.VIDEO_LENGTH = 4
+    cfg.TRAIN.SAMPLE_RATE = cfg.TEST.SAMPLE_RATE = 2
+    cfg.TRAIN.CROP_SIZE = cfg.TEST.CROP_SIZE = 32
+    cfg.TEST.SCALE = 36
+    cfg.TRAIN.BATCH_SIZE = cfg.TEST.BATCH_SIZE = 2
+    cfg.NUM_GPUS = 1
+    cfg.LFB.ENABLED = True
+    cfg.LFB.FBO_TYPE = 'nl'
+    cfg.LFB.WINDOW_SIZE = 4
+    cfg.TPU.COMPUTE_DTYPE = 'float32'
+    cfg.TPU.USE_PALLAS = False
+    cfg = C.finalize(cfg)
+
+    paths, _, _, _ = load_image_lists(
+        [str(tmp_path / 'frame_lists' / 'val.csv')], cfg.DATADIR)
+    bank = synthetic.make_fake_frame_lfb(paths, dim=cfg.LFB.LFB_DIM)
+
+    spec = build_spec(cfg, 'val')
+    params = init_params(jax.random.PRNGKey(0), spec)
+
+    # Host path.
+    db_host = get_input_db(cfg, 'val', lfb=bank)
+    batch_host = db_host.minibatch([0, 1], np.random.default_rng(3))
+    out_host = make_eval_step(spec)(params, batch_host)
+
+    # Device-bank path.
+    cfg2 = C.clone(cfg, {'TPU.DEVICE_BANK': True})
+    db_dev = get_input_db(cfg2, 'val', lfb=bank)
+    assert db_dev.device_bank
+    batch_dev = db_dev.minibatch([0, 1], np.random.default_rng(3))
+    assert 'lfb' not in batch_dev and 'lfb_center' in batch_dev
+    out_dev = make_eval_step(spec, bank=db_dev.lfb)(params, batch_dev)
+
+    np.testing.assert_allclose(np.asarray(out_dev['logits']),
+                               np.asarray(out_host['logits']),
+                               rtol=1e-5, atol=1e-5)

@@ -26,6 +26,9 @@ def train(cfg):
     if cfg.LFB.ENABLED:
         test_lfb = get_lfb(cfg, cfg.LFB.MODEL_PARAMS_FILE, is_train=False)
         train_lfb = get_lfb(cfg, cfg.LFB.MODEL_PARAMS_FILE, is_train=True)
+        # With cfg.TPU.DEVICE_BANK the datasets convert these host banks
+        # into HBM-resident device banks themselves (they own the
+        # video-index mapping).
 
     trainer = Trainer(cfg, train_lfb=train_lfb, test_lfb=test_lfb)
     last_checkpoint = trainer.train()
