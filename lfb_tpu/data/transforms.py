@@ -251,15 +251,25 @@ def preprocess_clip(
     return np.ascontiguousarray(clip, dtype=np.float32), boxes
 
 
-def load_frames(paths, retry: int = 10) -> np.ndarray:
+def load_frames(paths, retry: int = 10,
+                use_native: bool = True) -> np.ndarray:
     """Read JPEG frames (BGR, HWC) with retry (reference
-    ``data_input_helper.py:51-61``)."""
+    ``data_input_helper.py:51-61``).
+
+    Prefers the native C++ multi-threaded decoder (byte-identical to
+    cv2.imread); falls back to cv2 per-frame reads.
+    """
     import time
-    assert _HAS_CV2, 'cv2 unavailable'
     for attempt in range(retry):
-        imgs = [cv2.imread(p) for p in paths]
-        if all(img is not None for img in imgs):
-            return np.stack(imgs).astype(np.float32)
+        if use_native:
+            from lfb_tpu.data import native_loader
+            clip = native_loader.decode_clip(paths)
+            if clip is not None:
+                return clip.astype(np.float32)
+        if _HAS_CV2:
+            imgs = [cv2.imread(p) for p in paths]
+            if all(img is not None for img in imgs):
+                return np.stack(imgs).astype(np.float32)
         if attempt == retry - 1:
             raise IOError('Failed to load images {}'.format(paths))
         time.sleep(1.0)
