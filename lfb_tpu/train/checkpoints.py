@@ -38,14 +38,27 @@ logger = logging.getLogger(__name__)
 # Low-level container I/O
 # --------------------------------------------------------------------------- #
 
-def read_pkl(path: str) -> dict:
-    """Read a (possibly Python-2) Caffe2 pickle."""
-    with open(path, 'rb') as f:
+def read_pkl(path: str, retry: int = 10) -> dict:
+    """Read a (possibly Python-2) Caffe2 pickle, retrying transient I/O
+    failures (reference ``checkpoints.py:133-142,276-284``)."""
+    import time
+    last_err = None
+    for attempt in range(retry):
         try:
-            data = pickle.load(f, encoding='latin1')
-        except TypeError:  # pragma: no cover (py2-free env)
-            f.seek(0)
-            data = pickle.load(f)
+            with open(path, 'rb') as f:
+                try:
+                    data = pickle.load(f, encoding='latin1')
+                except TypeError:  # pragma: no cover (py2-free env)
+                    f.seek(0)
+                    data = pickle.load(f)
+            break
+        except (OSError, EOFError) as e:
+            if isinstance(e, FileNotFoundError):
+                raise
+            last_err = e
+            if attempt == retry - 1:
+                raise
+            time.sleep(1.0)
     # Normalize bytes keys from py2 pickles.
     def denorm(obj):
         if isinstance(obj, dict):

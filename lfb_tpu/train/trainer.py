@@ -162,6 +162,22 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
 
+    def _maybe_precise_bn(self):
+        """Recompute true BN stats before checkpoint/eval (reference
+        ``train_net.py:163-182``); no-op in frozen-affine mode."""
+        cfg = self.cfg
+        if not cfg.TRAIN.COMPUTE_PRECISE_BN or self.spec.use_affine:
+            return
+        from lfb_tpu.train.precise_bn import compute_precise_bn_stats
+        params = compute_precise_bn_stats(
+            self.spec, self.params(),
+            (shard_batch(self.mesh, b) for b in self.train_loader.batches(
+                num_batches=cfg.TRAIN.ITER_COMPUTE_PRECISE_BN)),
+            cfg.TRAIN.ITER_COMPUTE_PRECISE_BN)
+        for name, value in params.items():
+            if name in self.frozen:
+                self.frozen[name] = jnp.asarray(value)
+
     def save_checkpoint(self, cur_iter: int) -> str:
         path = os.path.join(self.checkpoint_dir,
                             'c2_model_iter{}.pkl'.format(cur_iter + 1))
@@ -194,11 +210,22 @@ class Trainer:
                     loss, np.asarray(aux['prob']), labels, lr)
             pending.clear()
 
+        from lfb_tpu.utils.logging_utils import describe_params
+        logger.info('Model parameters:\n%s',
+                    describe_params(self.params(), max_rows=8))
+
         train_iter = self.train_loader.batches(
             num_batches=cfg.SOLVER.MAX_ITER - self.start_iter,
             start_batch=self.start_iter)
 
         for cur_iter in range(self.start_iter, cfg.SOLVER.MAX_ITER):
+            # PROF_DAG: capture an xprof trace of steps 1-4 (reference uses
+            # the prof_dag executor for per-op timing, ``train_net.py:69-72``).
+            if cfg.PROF_DAG and cur_iter == self.start_iter + 1:
+                jax.profiler.start_trace('/tmp/lfb_tpu_trace')
+            if cfg.PROF_DAG and cur_iter == self.start_iter + 4:
+                jax.profiler.stop_trace()
+                logger.info('Profile trace written to /tmp/lfb_tpu_trace')
             lr = self._update_lr(cur_iter)
             np_batch = next(train_iter)
             labels = np_batch['labels']
@@ -224,12 +251,18 @@ class Trainer:
                     (cur_iter + 1) % cfg.CHECKPOINT.CHECKPOINT_PERIOD == 0) \
                     or cur_iter + 1 == cfg.SOLVER.MAX_ITER:
                 drain()
+                self._maybe_precise_bn()
                 last_checkpoint = self.save_checkpoint(cur_iter)
 
             if (cur_iter + 1) % cfg.TRAIN.EVAL_PERIOD == 0:
                 drain()
+                self._maybe_precise_bn()
                 self.evaluate(name='iter{}'.format(cur_iter + 1))
                 self.train_meter.finalize_metrics(is_train=True)
+                from lfb_tpu.utils.logging_utils import (get_json_stats_dict,
+                                                         log_json_stats)
+                log_json_stats(get_json_stats_dict(
+                    cfg, self.train_meter, self.test_meter, cur_iter))
                 self.train_meter.reset()
 
         drain()

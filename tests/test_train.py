@@ -89,3 +89,80 @@ def test_frozen_excluded_from_state():
     params = {'a': jnp.zeros(3), 'b_bn_s': jnp.zeros(3)}
     state = opt.init_state(params, frozen={'b_bn_s'})
     assert set(state.momentum) == {'a'}
+
+
+def test_json_stats_and_param_table():
+    from lfb_tpu.utils.logging_utils import (describe_params,
+                                             get_json_stats_dict)
+    cfg = C.finalize(C.default_config())
+    cfg.DATASET = 'epic'
+    cfg.MODEL.MULTI_LABEL = False
+    cfg.TRAIN.DATASET_SIZE = 100
+
+    class FakeMeter:
+        lr = 0.01
+        aggr_loss = 10.0
+        aggr_batch_size = 5
+        aggr_err = 50.0
+        aggr_err5 = 25.0
+        avg_err = 10.0
+        avg_err5 = 5.0
+        best_top1 = 9.0
+        best_top5 = 4.0
+        full_map = 0.0
+        best_map = 0.0
+
+    stats = get_json_stats_dict(cfg, FakeMeter(), FakeMeter(), 99)
+    assert stats['currentIter'] == 100
+    assert abs(stats['train_loss'] - 2.0) < 1e-9
+    assert stats['test_err'] == 10.0 and stats['best_err'] == 9.0
+    assert abs(stats['epoch'] - 99 / (100 / 64)) < 1e-9
+
+    table = describe_params({'conv1_w': np.zeros((5, 7, 7, 3, 64)),
+                             'pred_b': np.zeros(10)})
+    assert 'conv1_w' in table and 'TOTAL' in table and '47,050' in table
+
+
+def test_read_pkl_retries_then_raises(tmp_path):
+    from lfb_tpu.train.checkpoints import read_pkl
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        read_pkl(str(tmp_path / 'missing.pkl'))
+    bad = tmp_path / 'trunc.pkl'
+    bad.write_bytes(b'\x80\x02')  # truncated pickle
+    with pytest.raises(Exception):
+        read_pkl(str(bad), retry=2)
+
+
+def test_precise_bn_stats():
+    from lfb_tpu.models import build_spec, init_params
+    from lfb_tpu.train.precise_bn import compute_precise_bn_stats
+    cfg = C.default_config()
+    cfg.DATASET = 'epic'
+    cfg.MODEL.NUM_CLASSES = 5
+    cfg.MODEL.MULTI_LABEL = False
+    cfg.MODEL.USE_AFFINE = False
+    cfg.NONLOCAL.USE_BN = True
+    cfg.TRAIN.VIDEO_LENGTH = cfg.TEST.VIDEO_LENGTH = 8
+    cfg.TRAIN.CROP_SIZE = cfg.TEST.CROP_SIZE = 32
+    cfg.NUM_GPUS = 1
+    cfg.TRAIN.BATCH_SIZE = cfg.TEST.BATCH_SIZE = 2
+    cfg.TPU.COMPUTE_DTYPE = 'float32'
+    cfg.TPU.USE_PALLAS = False
+    cfg = C.finalize(cfg)
+    spec = build_spec(cfg, 'train')
+    params = init_params(jax.random.PRNGKey(0), spec)
+
+    rng = np.random.RandomState(0)
+    batches = [{'data': jnp.array(
+        0.1 * rng.randn(2, 8, 32, 32, 3).astype(np.float32)),
+        'labels': jnp.array([0, 1])} for _ in range(2)]
+    new = compute_precise_bn_stats(spec, params, iter(batches), 2)
+    # running stats replaced and finite
+    assert not np.allclose(np.asarray(new['res_conv1_bn_rm']),
+                           np.asarray(params['res_conv1_bn_rm']))
+    assert np.isfinite(np.asarray(new['res_conv1_bn_rm'])).all()
+    assert (np.asarray(new['res_conv1_bn_riv']) >= 0).all()
+    # non-BN params untouched
+    np.testing.assert_array_equal(np.asarray(new['conv1_w']),
+                                  np.asarray(params['conv1_w']))
