@@ -15,16 +15,17 @@ except ImportError:  # pragma: no cover
     cv2 = None
 
 
-def write_frames(root, video_name, num_frames, size=(48, 64), seed=0):
-    """Write JPEG frames; returns relative paths. Frame ids are 1-based
-    zero-padded like EPIC (frame_0000000001.jpg)."""
+def write_frames(root, video_name, num_frames, size=(48, 64), seed=0,
+                 pattern='frame_{:010d}.jpg'):
+    """Write JPEG frames; returns relative paths. Default naming is
+    EPIC-style (frame_0000000001.jpg); AVA uses '<video>_%06d.jpg'."""
     rng = np.random.RandomState(seed)
     vdir = os.path.join(root, 'frames', video_name)
     os.makedirs(vdir, exist_ok=True)
     rel_paths = []
     for i in range(num_frames):
         img = rng.randint(0, 255, size=(size[0], size[1], 3), dtype=np.uint8)
-        rel = os.path.join(video_name, 'frame_{:010d}.jpg'.format(i + 1))
+        rel = os.path.join(video_name, pattern.format(i + 1))
         cv2.imwrite(os.path.join(root, 'frames', rel), img)
         rel_paths.append(rel)
     return rel_paths
@@ -111,7 +112,8 @@ def build_ava(root, num_videos=2, num_secs=4, num_classes=80):
         name = 'AVA{:02d}'.format(v)
         names.append(name)
         nframes = (num_secs + 4) * fps
-        rels = write_frames(root, name, nframes, seed=20 + v)
+        rels = write_frames(root, name, nframes, seed=20 + v,
+                            pattern=name + '_{:06d}.jpg')
         for i, rel in enumerate(rels):
             entries.append((name, v, i, rel, '""'))
     write_frame_list(os.path.join(root, 'frame_lists', 'train.csv'), entries)

@@ -136,3 +136,44 @@ def test_ava_train_and_pascal_eval(tmp_path):
     # detections CSV + a valid mAP in [0, 1].
     assert 0.0 <= metrics['full_map'] <= 1.0
     assert os.path.isfile(str(tmp_path / 'out' / 'detections_ava_final.csv'))
+
+
+def test_ava_multicrop_orchestration(tmp_path):
+    """Full multi-crop flow: 2 flips x 1 scale x 3 shifts -> per-crop
+    detections CSVs -> visibility-gated merge -> final combined mAP."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
+    import test_net as test_net_mod
+
+    cfg = tiny_cfg(synthetic.build_ava(str(tmp_path)))
+    cfg.CHECKPOINT.DIR = str(tmp_path / 'out')
+    cfg.AVA.TEST_MULTI_CROP = True
+    cfg.AVA.TEST_MULTI_CROP_SCALES = [36]
+    cfg.TEST.SCALE = 36
+    cfg.TEST.CROP_SIZE = 32
+    C.finalize(cfg)
+
+    # Save a model checkpoint to test.
+    from lfb_tpu.models import build_spec, init_params
+    from lfb_tpu.train import checkpoints as ckpt
+    spec = build_spec(cfg, 'val')
+    params = {k: np.asarray(v) for k, v in init_params(
+        jax.random.PRNGKey(0), spec).items()}
+    model_file = str(tmp_path / 'model.pkl')
+    ckpt.save_params(model_file, params, model_iter=0, lr=0.01)
+    cfg.TEST.PARAMS_FILE = model_file
+
+    out_dir = str(tmp_path / 'mc')
+    os.makedirs(out_dir, exist_ok=True)
+    # crop = min(256, 36) = 36 > short side? frames are 48x64 -> scale 36
+    # gives 36x48; crop 36 fits.
+    final_map = test_net_mod.test_net(cfg, output_dir=out_dir)
+
+    files = sorted(os.listdir(out_dir))
+    # 6 per-crop CSVs + 2 combined (flip/noflip) + final
+    shifts = [f for f in files if 'shift' in f]
+    combined = [f for f in files if 'combined' in f]
+    assert len(shifts) == 6, files
+    assert len(combined) == 2, files
+    assert 'final_multi_crop_testing_results.csv' in files
+    assert 0.0 <= final_map <= 1.0
