@@ -229,3 +229,89 @@ def test_loader_covers_db(tmp_path):
     n = sum(1 for _ in loader.batches())
     assert n == 5
     loader.shutdown()
+
+
+def test_epic_noun_lfb_sampler():
+    from lfb_tpu.data.epic import sample_noun_lfb
+    rng = np.random.RandomState(0)
+    # detector bank: frame -> (n_i, D) arrays
+    bank = {30: rng.randn(4, 8).astype(np.float32),
+            60: rng.randn(12, 8).astype(np.float32),
+            2000: rng.randn(2, 8).astype(np.float32)}
+    out = sample_noun_lfb(bank, center_idx=45, window_size=10,
+                          max_per_frame=3, frames_per_second=1, fps=30,
+                          lfb_dim=8)
+    assert out.shape == (10, 8)
+    # window = 10/3 secs around 45 -> frames ~[-5, 95]: frames 30, 60 hit.
+    np.testing.assert_allclose(out[:3], bank[30][:3])
+    np.testing.assert_allclose(out[3:6], bank[60][:3])
+    assert np.abs(out[6:]).sum() == 0  # zero pad
+
+    empty = sample_noun_lfb({}, center_idx=45, window_size=10,
+                            max_per_frame=3, frames_per_second=1, fps=30,
+                            lfb_dim=8)
+    assert empty.shape == (10, 8) and np.abs(empty).sum() == 0
+
+
+def test_noun_lfb_early_exit_at_window():
+    from lfb_tpu.data.epic import sample_noun_lfb
+    rng = np.random.RandomState(1)
+    bank = {i: rng.randn(10, 4).astype(np.float32) for i in range(0, 300, 10)}
+    out = sample_noun_lfb(bank, center_idx=150, window_size=5,
+                          max_per_frame=10, frames_per_second=1, fps=30,
+                          lfb_dim=4)
+    assert out.shape == (5, 4)
+    assert np.abs(out).sum() > 0
+
+
+def test_ava_force_test_flip(tmp_path):
+    cfg = small_cfg(synthetic.build_ava(str(tmp_path)))
+    db = get_input_db(cfg, 'val')
+    batch_plain = db.minibatch([0], np.random.default_rng(0))
+
+    cfg2 = small_cfg(synthetic.build_ava(str(tmp_path)))
+    cfg2.AVA.FORCE_TEST_FLIP = True
+    db2 = get_input_db(cfg2, 'val')
+    batch_flip = db2.minibatch([0], np.random.default_rng(0))
+
+    # data is horizontally mirrored
+    np.testing.assert_allclose(batch_flip['data'],
+                               batch_plain['data'][:, :, :, ::-1, :],
+                               rtol=1e-5)
+    # boxes flipped: x1' = W - x2 - 1 in crop coords (before final clip)
+    real = batch_plain['box_mask'] > 0
+    p, f = batch_plain['proposals'][real], batch_flip['proposals'][real]
+    np.testing.assert_allclose(f[:, 1], np.clip(32 - p[:, 3] - 1, 0, 31),
+                               atol=1e-4)
+
+
+def test_color_augmentation_path(tmp_path):
+    cfg = C.finalize(C.default_config())
+    cfg.TRAIN.USE_COLOR_AUGMENTATION = True
+    cfg.TRAIN.PCA_JITTER_ONLY = True
+    cfg.TRAIN.JITTER_SCALES = [36, 40]
+    rng = np.random.default_rng(0)
+    clip = np.random.RandomState(0).randint(
+        0, 255, size=(2, 48, 64, 3)).astype(np.float32)
+    out, _ = transforms.preprocess_clip(clip, is_train=True, crop_size=32,
+                                        cfg=cfg, rng=rng)
+    assert out.shape == (2, 32, 32, 3) and np.isfinite(out).all()
+
+    cfg.TRAIN.PCA_JITTER_ONLY = False  # also exercise brightness/contrast/sat
+    out2, _ = transforms.preprocess_clip(clip, is_train=True, crop_size=32,
+                                         cfg=cfg, rng=np.random.default_rng(1))
+    assert np.isfinite(out2).all()
+
+
+def test_charades_test_enumeration_matches_aggregation_layout(tmp_path):
+    """Test clip (video v, multi_clip c) must be db index v + c*num_videos,
+    matching the metric aggregation (reference metrics.py:165-186)."""
+    cfg = small_cfg(synthetic.build_charades(str(tmp_path)))
+    db = get_input_db(cfg, 'val')
+    rng = np.random.default_rng(0)
+    # index 0 -> video 0 clip 0; index 2 -> video 0, multi_clip 1
+    assert db.num_videos == 2
+    b0 = db.minibatch([0], rng)
+    b2 = db.minibatch([2], rng)
+    # same video (identical video-level labels), different clip/shift
+    np.testing.assert_array_equal(b0['labels'], b2['labels'])
