@@ -38,9 +38,22 @@ def roi_head(spec: ModelSpec, features: jax.Array,
     """
     fmap = jnp.mean(features.astype(jnp.float32), axis=1)   # (B, H, W, C)
     res = spec.roi_resolution
+    if spec.use_pallas and _on_tpu():
+        from lfb_tpu.ops.pallas_roi_align import roi_align_maxpool
+        out = roi_align_maxpool(fmap, proposals, pooled=res,
+                                spatial_scale=spec.roi_spatial_scale)
+        if out is not None:
+            return out
     feats = roi_align(
         fmap, proposals, pooled_h=res, pooled_w=res,
         spatial_scale=spec.roi_spatial_scale, sampling_ratio=0)
     if res > 1:
         feats = max_pool_2d(feats, (res, res), (1, 1))       # (N, 1, 1, C)
     return feats.reshape(feats.shape[0], feats.shape[-1])
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == 'tpu'
+    except Exception:  # pragma: no cover
+        return False

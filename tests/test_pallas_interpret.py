@@ -53,3 +53,32 @@ def test_pallas_kernel_matches_xla(B, Nq, Nk, C):
     out = interpret_attention(q, k, v, scale)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-2, atol=2e-3)  # bf16-promoted ref
+
+
+def test_pallas_roi_align_maxpool_matches_xla(monkeypatch):
+    from lfb_tpu.ops import pallas_roi_align
+    from lfb_tpu.ops.roi_align import roi_align
+    from lfb_tpu.ops.pooling import max_pool_2d
+    from jax.experimental import pallas as pl
+
+    # interpret mode: wrap pallas_call
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, 'pallas_call',
+                        lambda *a, **k: orig(*a, interpret=True, **k))
+
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(2, 14, 14, 128), jnp.float32)
+    rois = jnp.asarray(np.array([
+        [0, 0.0, 0.0, 224.0, 224.0],
+        [1, 32.0, 48.0, 120.0, 200.0],
+        [0, 5.5, 3.25, 60.75, 90.5],
+        [1, 0.0, 0.0, 0.0, 0.0],
+    ], np.float32))
+
+    out = pallas_roi_align.roi_align_maxpool(feats, rois, pooled=7,
+                                             spatial_scale=1 / 16.0)
+    ref = roi_align(feats, rois, pooled_h=7, pooled_w=7,
+                    spatial_scale=1 / 16.0)
+    ref = max_pool_2d(ref, (7, 7), (1, 1)).reshape(4, 128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
