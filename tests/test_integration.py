@@ -177,3 +177,69 @@ def test_ava_multicrop_orchestration(tmp_path):
     assert len(combined) == 2, files
     assert 'final_multi_crop_testing_results.csv' in files
     assert 0.0 <= final_map <= 1.0
+
+
+def test_freeze_backbone_updates_head_only(tmp_path):
+    from lfb_tpu.train.trainer import Trainer
+
+    cfg = tiny_cfg(synthetic.build_charades(str(tmp_path)),
+                   **{'MODEL.FREEZE_BACKBONE': True, 'LFB.ENABLED': True,
+                      'LFB.FBO_TYPE': 'nl', 'LFB.WINDOW_SIZE': 4})
+    cfg.CHECKPOINT.DIR = str(tmp_path / 'out')
+    cfg.SOLVER.MAX_ITER = 1
+    cfg.SOLVER.BASE_LR = 0.1  # large lr so any update is visible
+    C.finalize(cfg)
+
+    from lfb_tpu.data.frame_lists import load_image_lists
+    paths, _, _, _ = load_image_lists(
+        [os.path.join(cfg.CHARADES.FRAME_LIST_DIR, 'train.csv')], cfg.DATADIR)
+    bank = synthetic.make_fake_frame_lfb(paths, dim=cfg.LFB.LFB_DIM)
+
+    trainer = Trainer(cfg, train_lfb=bank, test_lfb=bank)
+    conv1_before = np.asarray(trainer.params()['conv1_w']).copy()
+    pred_before = np.asarray(trainer.params()['pred_w']).copy()
+    trainer.train()
+    params = trainer.params()
+    np.testing.assert_array_equal(np.asarray(params['conv1_w']),
+                                  conv1_before)  # backbone frozen
+    assert not np.allclose(np.asarray(params['pred_w']), pred_before)
+    # FBO params train
+    assert 'lfb_nl0_theta_w' in trainer.trainable
+
+
+def test_epic_noun_load_lfb_flow(tmp_path):
+    """EPIC noun: detector-feature bank loaded from reference-format pickle
+    (LFB.LOAD_LFB), FBO-max head."""
+    import pickle
+    from lfb_tpu.bank import get_lfb
+    from lfb_tpu.train.trainer import Trainer
+
+    overrides = synthetic.build_epic(str(tmp_path), class_type='noun')
+    cfg = tiny_cfg(overrides)
+    cfg.CHECKPOINT.DIR = str(tmp_path / 'out')
+    os.makedirs(cfg.CHECKPOINT.DIR, exist_ok=True)
+    cfg.LFB.ENABLED = True
+    cfg.LFB.FBO_TYPE = 'max'
+    cfg.LFB.WINDOW_SIZE = 6
+    cfg.LFB.LOAD_LFB = True
+    cfg.LFB.LOAD_LFB_PATH = str(tmp_path / 'noun_lfb')
+    cfg.EPIC.MAX_NUM_FEATS_PER_NOUN_LFB_FRAME = 3
+    cfg.SOLVER.MAX_ITER = 1
+    C.finalize(cfg)
+
+    # Noun banks are keyed by video INDEX: {idx: {frame: (n, D) array}}.
+    rng = np.random.RandomState(0)
+    os.makedirs(cfg.LFB.LOAD_LFB_PATH, exist_ok=True)
+    for name in ('train_lfb.pkl', 'val_lfb.pkl'):
+        bank = {v: {f: rng.randn(4, cfg.LFB.LFB_DIM).astype(np.float32)
+                    for f in range(0, 60, 15)} for v in range(2)}
+        with open(os.path.join(cfg.LFB.LOAD_LFB_PATH, name), 'wb') as fh:
+            pickle.dump(bank, fh, protocol=2)
+
+    val_lfb = get_lfb(cfg, '', is_train=False)
+    train_lfb = get_lfb(cfg, '', is_train=True)
+    assert len(val_lfb) == 2
+
+    trainer = Trainer(cfg, train_lfb=train_lfb, test_lfb=val_lfb)
+    last = trainer.train()
+    assert last and os.path.isfile(last)
