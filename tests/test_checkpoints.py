@@ -119,3 +119,66 @@ def test_latest_checkpoint_discovery(tmp_path):
 
 def test_resume_iter_rescaling():
     assert ckpt.resume_iter_for_batch_size(1000, 64, 16) == 4000
+
+
+def test_convert_model_pretrained_flow():
+    """CONVERT_MODEL: a BN-mode pretrained checkpoint (with _bn_rm/_bn_riv)
+    folds into the affine-mode model exactly (reference checkpoints.py:
+    88-116,132-177,200-205)."""
+    from lfb_tpu.core import config as C
+    from lfb_tpu.models import build_spec, init_params
+
+    # Source: BN-mode model (like a K400-pretrained checkpoint).
+    cfg_bn = C.default_config()
+    cfg_bn.DATASET = 'epic'
+    cfg_bn.MODEL.NUM_CLASSES = 400       # K400 classifier, mismatched
+    cfg_bn.MODEL.USE_AFFINE = False
+    cfg_bn.NONLOCAL.USE_BN = True
+    cfg_bn.MODEL.MULTI_LABEL = False
+    cfg_bn.TRAIN.VIDEO_LENGTH = cfg_bn.TEST.VIDEO_LENGTH = 8
+    cfg_bn.TRAIN.CROP_SIZE = cfg_bn.TEST.CROP_SIZE = 64
+    cfg_bn.NUM_GPUS = 1
+    cfg_bn.TRAIN.BATCH_SIZE = cfg_bn.TEST.BATCH_SIZE = 2
+    spec_bn = build_spec(C.finalize(cfg_bn), 'train')
+    rng = np.random.RandomState(0)
+    src = {}
+    for k, v in init_params(jax.random.PRNGKey(1), spec_bn).items():
+        arr = rng.randn(*np.shape(v)).astype(np.float32)
+        if k.endswith('_bn_riv'):
+            arr = np.abs(arr) + 0.1
+        src[k] = arr
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        path = d + '/k400.pkl'
+        ckpt.save_params(path, src, model_iter=12345, lr=0.00125,
+                         momentum={'conv1_w': src['conv1_w'] * 0})
+
+        # Target: affine-mode model with a different classifier size.
+        cfg_af = C.clone(C.finalize(cfg_bn))
+        cfg_af.MODEL.USE_AFFINE = True
+        cfg_af.MODEL.NUM_CLASSES = 5
+        cfg_af.NONLOCAL.USE_BN = False
+        cfg_af.NONLOCAL.USE_AFFINE = True
+        spec_af = build_spec(cfg_af, 'train')
+        target = {k: np.asarray(v) for k, v in
+                  init_params(jax.random.PRNGKey(2), spec_af).items()}
+        pred_init = target['pred_w'].copy()
+
+        loaded, _, _, _ = ckpt.load_params_into(path, target,
+                                                convert_model=True)
+
+    # Affine scale/bias == folded BN.
+    g, b = src['res2_0_branch2a_bn_s'], src['res2_0_branch2a_bn_b']
+    rm, rv = src['res2_0_branch2a_bn_rm'], src['res2_0_branch2a_bn_riv']
+    std = np.sqrt(rv + 1e-5)
+    np.testing.assert_allclose(loaded['res2_0_branch2a_bn_s'], g / std,
+                               rtol=1e-6)
+    np.testing.assert_allclose(loaded['res2_0_branch2a_bn_b'],
+                               b - rm * g / std, rtol=1e-5, atol=1e-6)
+    # conv weights transferred (layout converted), classifier kept at init.
+    np.testing.assert_allclose(
+        loaded['conv1_w'],
+        ckpt.c2_to_tpu('conv1_w', ckpt.tpu_to_c2('conv1_w', src['conv1_w']),
+                       loaded['conv1_w'].shape))
+    np.testing.assert_array_equal(loaded['pred_w'], pred_init)
