@@ -11,7 +11,7 @@ import csv
 import logging
 import os
 import pickle
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -12,7 +12,6 @@ from __future__ import annotations
 import logging
 import os
 import pickle
-import time
 from collections import defaultdict
 from typing import Dict, Optional
 

@@ -20,7 +20,6 @@ import functools
 from typing import Dict
 
 import jax
-import jax.numpy as jnp
 
 from lfb_tpu.models.layers import (Params, apply_norm, init_conv, init_norm)
 from lfb_tpu.models.spec import STAGE_DIMS, ModelSpec

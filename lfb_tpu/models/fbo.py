@@ -15,8 +15,6 @@ applied anywhere).
 
 from __future__ import annotations
 
-from typing import Dict
-
 import jax
 import jax.numpy as jnp
 

@@ -14,7 +14,7 @@ temporal convs through its 23-block res4.
 from __future__ import annotations
 
 import dataclasses
-from typing import Mapping, Sequence, Tuple
+from typing import Mapping, Tuple
 
 BLOCK_COUNTS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
 

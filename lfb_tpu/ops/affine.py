@@ -15,7 +15,6 @@ parameters, which yields the identical vjp.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def affine_nd(x: jax.Array, scale: jax.Array, bias: jax.Array) -> jax.Array:

@@ -10,7 +10,6 @@ compilation.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict
 
 import jax
