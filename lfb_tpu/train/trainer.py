@@ -57,7 +57,19 @@ class Trainer:
             num_workers=cfg.DATALOADER.NUM_WORKERS,
             prefetch=cfg.DATALOADER.PREFETCH_BATCHES,
             seed=cfg.RNG_SEED, is_train=True)
-        self.test_db = get_input_db(cfg, cfg.TEST.DATA_TYPE or 'val',
+        # Training-time evaluation mirrors the reference's phase injection
+        # (``train_net.py:107-108``): the val split uses the TRAIN detection
+        # threshold and the mini (sec%4==0) subset unless
+        # FULL_EVAL_DURING_TRAINING.
+        test_cfg = cfg
+        if cfg.DATASET == 'ava':
+            from lfb_tpu.core.config import clone
+            test_cfg = clone(cfg, {
+                'AVA.DETECTION_SCORE_THRESH':
+                    cfg.AVA.DETECTION_SCORE_THRESH_TRAIN,
+                'AVA.FULL_EVAL': cfg.AVA.FULL_EVAL_DURING_TRAINING,
+            })
+        self.test_db = get_input_db(test_cfg, cfg.TEST.DATA_TYPE or 'val',
                                     lfb=test_lfb)
         self.test_loader = DataLoader(
             self.test_db, cfg.TEST.BATCH_SIZE,

@@ -243,3 +243,19 @@ def test_epic_noun_load_lfb_flow(tmp_path):
     trainer = Trainer(cfg, train_lfb=train_lfb, test_lfb=val_lfb)
     last = trainer.train()
     assert last and os.path.isfile(last)
+
+
+def test_trainer_ava_mini_eval_phase_injection(tmp_path):
+    """During training, the val DB uses the TRAIN detection threshold and
+    the mini (sec%4==0) subset (reference train_net.py:107-108)."""
+    from lfb_tpu.train.trainer import Trainer
+    cfg = tiny_cfg(synthetic.build_ava(str(tmp_path), num_secs=8))
+    cfg.CHECKPOINT.DIR = str(tmp_path / 'out')
+    cfg.AVA.FULL_EVAL_DURING_TRAINING = False
+    C.finalize(cfg)
+    trainer = Trainer(cfg)
+    secs = {sec for _, sec, _ in trainer.test_db.keyframe_indices}
+    assert secs and all(s % 4 == 0 for s in secs)
+    assert trainer.test_db.detect_thresh == cfg.AVA.DETECTION_SCORE_THRESH_TRAIN
+    trainer.train_loader.shutdown()
+    trainer.test_loader.shutdown()
