@@ -24,12 +24,27 @@ R101-I3D-NL at 32x224x224 including the Python/BlobsQueue host loop.  The
 """
 
 import json
+import os
+import signal
 import sys
 import time
 
 import numpy as np
 
 REFERENCE_CLIPS_PER_SEC_PER_GPU = 8.0
+# Compile watchdog: the remote-compile service can stall indefinitely; emit
+# an explicit failure line rather than hanging the harness.
+BENCH_TIMEOUT_S = int(os.environ.get('LFB_BENCH_TIMEOUT_S', '540'))
+
+
+def _timeout_handler(signum, frame):
+    print(json.dumps({
+        'metric': 'clips/sec/chip (bank extraction + FBO inference)',
+        'value': 0.0, 'unit': 'clips/sec/chip', 'vs_baseline': 0.0,
+        'error': 'timeout after {}s (TPU compile service stall)'.format(
+            BENCH_TIMEOUT_S)}))
+    sys.stdout.flush()
+    os._exit(1)
 
 
 def timed_device_loop(step_fn, args, iters):
@@ -58,6 +73,8 @@ def timed_device_loop(step_fn, args, iters):
 
 
 def main():
+    signal.signal(signal.SIGALRM, _timeout_handler)
+    signal.alarm(BENCH_TIMEOUT_S)
     import jax
     from lfb_tpu.models import build_spec, forward, init_params
     from __graft_entry__ import _flagship_cfg

@@ -210,3 +210,18 @@ def test_bn_mode_updates_running_stats():
     assert 'res_conv1_bn' in out['bn_updates']
     mean, var = out['bn_updates']['res_conv1_bn']
     assert mean.shape == (64,) and var.shape == (64,)
+
+
+def test_c2d_arcs_forward():
+    """C2D arcs (VIDEO_ARC_CHOICE 1/3): all temporal kernels are 1."""
+    for choice, depth in ((1, 50), (3, 101)):
+        cfg = make_cfg('epic')
+        cfg.MODEL.VIDEO_ARC_CHOICE = choice
+        cfg.MODEL.DEPTH = depth
+        cfg = C.finalize(cfg)
+        spec = build_spec(cfg, 'train')
+        params = init_params(jax.random.PRNGKey(0), spec)
+        assert params['conv1_w'].shape[0] == 1  # kT = 1
+        assert params['res4_0_branch2a_w'].shape[0] == 1
+        out = forward(spec, params, epic_batch(spec), train=False)
+        assert out['logits'].shape == (2, 7)
