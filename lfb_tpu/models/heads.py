@@ -38,7 +38,9 @@ def roi_head(spec: ModelSpec, features: jax.Array,
     """
     fmap = jnp.mean(features.astype(jnp.float32), axis=1)   # (B, H, W, C)
     res = spec.roi_resolution
-    if spec.use_pallas and _on_tpu():
+    # The Pallas kernel's scalar-prefetch fmap indexing does not partition
+    # under multi-device auto-sharding; use it on single-chip programs only.
+    if spec.use_pallas and _on_tpu() and jax.device_count() == 1:
         from lfb_tpu.ops.pallas_roi_align import roi_align_maxpool
         out = roi_align_maxpool(fmap, proposals, pooled=res,
                                 spatial_scale=spec.roi_spatial_scale)

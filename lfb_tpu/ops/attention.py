@@ -80,7 +80,10 @@ def _attention_xla(q, k, v, *, scale, mask, use_softmax):
 
 @functools.lru_cache(maxsize=1)
 def _pallas_available() -> bool:
+    # Single-chip TPU programs only: pallas_call does not partition under
+    # multi-device auto-sharding (multi-chip runs keep the XLA path; a
+    # shard_map-wrapped variant is the future-work path to fuse there too).
     try:
-        return jax.default_backend() == 'tpu'
+        return jax.default_backend() == 'tpu' and jax.device_count() == 1
     except Exception:
         return False
