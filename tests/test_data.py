@@ -315,3 +315,23 @@ def test_charades_test_enumeration_matches_aggregation_layout(tmp_path):
     b2 = db.minibatch([2], rng)
     # same video (identical video-level labels), different clip/shift
     np.testing.assert_array_equal(b0['labels'], b2['labels'])
+
+
+def test_loader_propagates_worker_exceptions(tmp_path):
+    """A failing minibatch build must surface loudly (the reference's
+    Coordinator kills the process on worker exceptions; here the exception
+    propagates from the prefetch future)."""
+    cfg = small_cfg(synthetic.build_charades(str(tmp_path)))
+    db = get_input_db(cfg, 'val')
+
+    class BrokenDB:
+        def db_size(self):
+            return db.db_size()
+
+        def minibatch(self, indices, rng):
+            raise RuntimeError('decode exploded')
+
+    loader = DataLoader(BrokenDB(), batch_size=4, num_workers=2, seed=0)
+    with pytest.raises(RuntimeError, match='decode exploded'):
+        next(iter(loader.batches(1)))
+    loader.shutdown()
