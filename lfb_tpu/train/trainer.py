@@ -32,6 +32,20 @@ from lfb_tpu.train.steps import (make_eval_step, make_train_step,
 logger = logging.getLogger(__name__)
 
 
+def _device_prefetch(batches, mesh, depth: int = 2):
+    """Yield (host_labels, device_batch) with device_put issued ``depth``
+    batches ahead, overlapping host->device transfer with the running step
+    (device_put is asynchronous)."""
+    import collections
+    queue = collections.deque()
+    for np_batch in batches:
+        queue.append((np_batch['labels'], shard_batch(mesh, np_batch)))
+        if len(queue) >= depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 class Trainer:
 
     def __init__(self, cfg, output_dir: Optional[str] = None, mesh=None,
@@ -226,9 +240,11 @@ class Trainer:
         logger.info('Model parameters:\n%s',
                     describe_params(self.params(), max_rows=8))
 
-        train_iter = self.train_loader.batches(
-            num_batches=cfg.SOLVER.MAX_ITER - self.start_iter,
-            start_batch=self.start_iter)
+        train_iter = _device_prefetch(
+            self.train_loader.batches(
+                num_batches=cfg.SOLVER.MAX_ITER - self.start_iter,
+                start_batch=self.start_iter),
+            self.mesh, depth=2)
 
         for cur_iter in range(self.start_iter, cfg.SOLVER.MAX_ITER):
             # PROF_DAG: capture an xprof trace of steps 1-4 (reference uses
@@ -239,9 +255,7 @@ class Trainer:
                 jax.profiler.stop_trace()
                 logger.info('Profile trace written to /tmp/lfb_tpu_trace')
             lr = self._update_lr(cur_iter)
-            np_batch = next(train_iter)
-            labels = np_batch['labels']
-            batch = shard_batch(self.mesh, np_batch)
+            labels, batch = next(train_iter)
             self.trainable, self.frozen, self.mstate, aux = self.train_step(
                 self.trainable, self.frozen, self.mstate, batch,
                 jax.random.PRNGKey(cfg.RNG_SEED * 1000003 + cur_iter),

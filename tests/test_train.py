@@ -166,3 +166,23 @@ def test_precise_bn_stats():
     # non-BN params untouched
     np.testing.assert_array_equal(np.asarray(new['conv1_w']),
                                   np.asarray(params['conv1_w']))
+
+
+def test_flops_cost_analysis_and_hlo_dump(tmp_path):
+    from lfb_tpu.utils.flops import (cost_analysis, count_params,
+                                     log_flops_params, save_hlo_text)
+
+    def fn(params, x):
+        return x @ params['w']
+
+    params = {'w': jnp.ones((64, 32))}
+    x = jnp.ones((16, 64))
+    costs = cost_analysis(fn, params, x)
+    # 2*M*N*K flops for the matmul
+    assert abs(costs.get('flops', 0) - 2 * 16 * 64 * 32) < 1e3
+    assert count_params(params) == 64 * 32
+    log_flops_params(fn, params, x)
+
+    path = save_hlo_text(fn, str(tmp_path / 'model.hlo'), params, x)
+    text = open(path).read()
+    assert 'HloModule' in text or 'ENTRY' in text
