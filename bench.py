@@ -72,9 +72,66 @@ def timed_device_loop(step_fn, args, iters):
     return (time.perf_counter() - t0) / iters
 
 
+def bench_train(batch_clips: int, iters: int):
+    """Optional mode (``python bench.py train [B] [iters]``): flagship
+    training-step throughput (fwd+bwd+SGD)."""
+    import jax
+    import jax.numpy as jnp
+    from lfb_tpu.models import build_spec, init_params
+    from lfb_tpu.models.model import frozen_param_names
+    from lfb_tpu.train import optimizer as opt
+    from lfb_tpu.train.steps import make_train_step, split_params
+    from __graft_entry__ import _flagship_cfg
+
+    cfg = _flagship_cfg(tiny=False)
+    cfg.TRAIN.VIDEO_LENGTH = 32
+    cfg.TRAIN.CROP_SIZE = 224
+    spec = build_spec(cfg, 'train')
+    params = init_params(jax.random.PRNGKey(0), spec)
+    trainable, frozen = split_params(spec, params)
+    mstate = opt.init_state(params, frozen_param_names(spec, params))
+    step = make_train_step(spec, cfg.SOLVER, mesh=None)
+
+    rng = np.random.RandomState(0)
+    boxes_per_clip = 4
+    n = batch_clips * boxes_per_clip
+    t, crop = cfg.TRAIN.VIDEO_LENGTH, cfg.TRAIN.CROP_SIZE
+    batch = {
+        'data': jax.device_put(
+            0.1 * rng.randn(batch_clips, t, crop, crop, 3).astype(np.float32)),
+        'labels': jax.device_put(
+            (rng.rand(n, 80) > 0.95).astype(np.float32)),
+        'proposals': jax.device_put(np.stack(
+            [np.repeat(np.arange(batch_clips), boxes_per_clip)]
+            + [rng.uniform(0, crop, n) for _ in range(4)], 1).astype(np.float32)),
+        'box_mask': jax.device_put(np.ones(n, np.float32)),
+        'lfb': jax.device_put(
+            rng.randn(n, spec.fbo.num_lfb_feat, 2048).astype(np.float32)),
+    }
+
+    # Warm (compiles), then time sequential steps with a host sync each.
+    state = (trainable, frozen, mstate)
+    state = step(*state, batch, jax.random.PRNGKey(0), jnp.float32(1e-4))[:3]
+    float(state[2].momentum['pred_w'].sum())
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = step(*state, batch, jax.random.PRNGKey(i), jnp.float32(1e-4))
+        state = out[:3]
+    float(out[3]['loss'])
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({
+        'metric': 'train clips/sec/chip (fwd+bwd+SGD, R101 LFB-NL-3L)',
+        'value': round(batch_clips / dt, 2), 'unit': 'clips/sec/chip',
+        'vs_baseline': None}))
+
+
 def main():
     signal.signal(signal.SIGALRM, _timeout_handler)
     signal.alarm(BENCH_TIMEOUT_S)
+    if len(sys.argv) > 1 and sys.argv[1] == 'train':
+        bench_train(int(sys.argv[2]) if len(sys.argv) > 2 else 4,
+                    int(sys.argv[3]) if len(sys.argv) > 3 else 10)
+        return
     import jax
     from lfb_tpu.models import build_spec, forward, init_params
     from __graft_entry__ import _flagship_cfg

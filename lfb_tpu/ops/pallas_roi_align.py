@@ -2,14 +2,19 @@
 
 The XLA implementation (``lfb_tpu/ops/roi_align.py``) materializes four
 (N, P, G, P, G, C) corner gathers in HBM -- ~1.6 GB of traffic for an AVA
-batch.  Here each grid step keeps one clip's pooled feature map
-(H x W x C ~= 2 MB) in VMEM and produces the box's final pooled vector
-directly, fusing the 7x7 max-pool of the head
+batch.  Here each grid step keeps one clip's temporally-pooled feature map
+(H x W x C ~= 2 MB) in VMEM and emits the box's final pooled vector
+directly, fusing the head's 7x7 max-pool
 (reference ``lib/models/head_helper.py:104-115``) into the same kernel.
 
+TPU kernels cannot dynamically index VMEM per element, so the bilinear
+gather is expressed the MXU way: the four corner lookups of all
+7x7 x 4x4 sample points become one-hot (S, H*W) x (H*W, C) matmuls with the
+bilinear weights folded into the one-hot rows.
+
 Semantics identical to legacy Caffe2 RoIAlign with sampling_ratio=0 (see
-roi_align.py docstring); the per-box feature map is selected with a
-scalar-prefetch index map so only referenced maps are DMA'd.
+roi_align.py); the per-box feature map is selected with a scalar-prefetch
+index map so only referenced maps are DMA'd.
 """
 
 from __future__ import annotations
@@ -32,6 +37,10 @@ _MAX_GRID = 4
 def _roi_kernel(batch_idx_ref, rois_ref, fmap_ref, out_ref, *,
                 pooled: int, spatial_scale: float, height: int, width: int):
     i = pl.program_id(0)
+    P, G = pooled, _MAX_GRID
+    S = P * P * G * G
+    HW = height * width
+
     x1 = rois_ref[i, 1] * spatial_scale
     y1 = rois_ref[i, 2] * spatial_scale
     x2 = rois_ref[i, 3] * spatial_scale
@@ -39,57 +48,57 @@ def _roi_kernel(batch_idx_ref, rois_ref, fmap_ref, out_ref, *,
 
     roi_w = jnp.maximum(x2 - x1, 1.0)
     roi_h = jnp.maximum(y2 - y1, 1.0)
-    bin_w = roi_w / pooled
-    bin_h = roi_h / pooled
-    grid_w = jnp.clip(jnp.ceil(roi_w / pooled), 1, _MAX_GRID).astype(jnp.int32)
-    grid_h = jnp.clip(jnp.ceil(roi_h / pooled), 1, _MAX_GRID).astype(jnp.int32)
-    count = (grid_w * grid_h).astype(jnp.float32)
+    bin_w = roi_w / P
+    bin_h = roi_h / P
+    grid_w = jnp.clip(jnp.ceil(roi_w / P), 1, G)
+    grid_h = jnp.clip(jnp.ceil(roi_h / P), 1, G)
+    count = grid_w * grid_h
 
-    fmap = fmap_ref[0]  # (H, W, C) in VMEM
+    # Sample lattice (S, 1): s = ((ph*P + pw)*G + iy)*G + ix.
+    ids = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+    ix = (ids % G).astype(jnp.float32)
+    iy = ((ids // G) % G).astype(jnp.float32)
+    pw = ((ids // (G * G)) % P).astype(jnp.float32)
+    ph = (ids // (G * G * P)).astype(jnp.float32)
 
-    def bilinear(y, x):
-        """Sample fmap at continuous (y, x) with legacy border handling."""
-        outside = (y < -1.0) | (y > float(height)) | \
-                  (x < -1.0) | (x > float(width))
-        y = jnp.maximum(y, 0.0)
-        x = jnp.maximum(x, 0.0)
-        y_lo = jnp.floor(y)
-        x_lo = jnp.floor(x)
-        y_hi_clamp = y_lo >= height - 1
-        x_hi_clamp = x_lo >= width - 1
-        y_lo = jnp.where(y_hi_clamp, float(height - 1), y_lo)
-        x_lo = jnp.where(x_hi_clamp, float(width - 1), x_lo)
-        y = jnp.where(y_hi_clamp, y_lo, y)
-        x = jnp.where(x_hi_clamp, x_lo, x)
-        yl = y_lo.astype(jnp.int32)
-        xl = x_lo.astype(jnp.int32)
-        yh = jnp.where(y_hi_clamp, yl, yl + 1)
-        xh = jnp.where(x_hi_clamp, xl, xl + 1)
-        fy = y - y_lo
-        fx = x - x_lo
-        v_ll = fmap[yl, xl, :]
-        v_lh = fmap[yl, xh, :]
-        v_hl = fmap[yh, xl, :]
-        v_hh = fmap[yh, xh, :]
-        val = ((1 - fy) * (1 - fx) * v_ll + (1 - fy) * fx * v_lh
-               + fy * (1 - fx) * v_hl + fy * fx * v_hh)
-        return jnp.where(outside, 0.0, val)
+    ys = y1 + ph * bin_h + (iy + 0.5) * bin_h / grid_h
+    xs = x1 + pw * bin_w + (ix + 0.5) * bin_w / grid_w
+    lattice_ok = (iy < grid_h) & (ix < grid_w)
 
-    max_acc = jnp.full((fmap.shape[-1],), -jnp.inf, jnp.float32)
-    for ph in range(pooled):
-        for pw in range(pooled):
-            acc = jnp.zeros((fmap.shape[-1],), jnp.float32)
-            for iy in range(_MAX_GRID):
-                yy = y1 + ph * bin_h + (iy + 0.5) * bin_h / grid_h.astype(
-                    jnp.float32)
-                y_ok = iy < grid_h
-                for ix in range(_MAX_GRID):
-                    xx = x1 + pw * bin_w + (ix + 0.5) * bin_w / grid_w.astype(
-                        jnp.float32)
-                    ok = y_ok & (ix < grid_w)
-                    acc = acc + jnp.where(ok, bilinear(yy, xx), 0.0)
-            max_acc = jnp.maximum(max_acc, acc / count)
-    out_ref[0, :] = max_acc
+    def corners(v, size):
+        outside = (v < -1.0) | (v > float(size))
+        v = jnp.maximum(v, 0.0)
+        lo = jnp.floor(v)
+        hi_clamp = lo >= size - 1
+        lo = jnp.where(hi_clamp, float(size - 1), lo)
+        v = jnp.where(hi_clamp, lo, v)
+        hi = jnp.where(hi_clamp, lo, lo + 1)
+        return lo.astype(jnp.int32), hi.astype(jnp.int32), v - lo, outside
+
+    y_lo, y_hi, fy, y_out = corners(ys, height)
+    x_lo, x_hi, fx, x_out = corners(xs, width)
+    w_ok = jnp.where(lattice_ok & ~(y_out | x_out), 1.0, 0.0)  # (S, 1)
+
+    # Fold all four bilinear corners into ONE weighted selection matrix
+    # (S, HW); a single MXU matmul then gathers + interpolates every sample
+    # point at once (separate per-corner matmuls blow the VMEM budget).
+    fmap = fmap_ref[0].reshape(HW, fmap_ref.shape[-1]).astype(jnp.bfloat16)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (S, HW), 1)
+
+    select = jnp.zeros((S, HW), jnp.float32)
+    for yi, xi, w in (
+            (y_lo, x_lo, (1 - fy) * (1 - fx)),
+            (y_lo, x_hi, (1 - fy) * fx),
+            (y_hi, x_lo, fy * (1 - fx)),
+            (y_hi, x_hi, fy * fx)):
+        select = select + jnp.where(cols == yi * width + xi, w * w_ok, 0.0)
+
+    acc = jax.lax.dot_general(
+        select.astype(jnp.bfloat16), fmap, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)        # (S, C)
+
+    bins = acc.reshape(P * P, G * G, -1).sum(axis=1) / count  # (P*P, C)
+    out_ref[0, 0, :] = jnp.max(bins, axis=0)
 
 
 def roi_align_maxpool(features: jax.Array, rois: jax.Array, *,
@@ -118,10 +127,17 @@ def roi_align_maxpool(features: jax.Array, rois: jax.Array, *,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, H, W, C), lambda i, b: (b[i], 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, C), lambda i, b: (i, 0)),
+        # (N, 1, C) so each grid step's block is a full (1, C) tile.
+        out_specs=pl.BlockSpec((1, 1, C), lambda i, b: (i, 0, 0)),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((N, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N, 1, C), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * N * pooled * pooled * _MAX_GRID * _MAX_GRID * H * W * C,
+            bytes_accessed=(N * H * W * C + N * C) * 4,
+            transcendentals=0,
+        ),
     )(batch_idx, rois, feats)
+    return out[:, 0, :]

@@ -80,5 +80,6 @@ def test_pallas_roi_align_maxpool_matches_xla(monkeypatch):
     ref = roi_align(feats, rois, pooled_h=7, pooled_w=7,
                     spatial_scale=1 / 16.0)
     ref = max_pool_2d(ref, (7, 7), (1, 1)).reshape(4, 128)
+    # The kernel gathers in bf16 (VMEM budget); tolerance reflects that.
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-4, atol=1e-5)
+                               rtol=2e-2, atol=2e-2)
