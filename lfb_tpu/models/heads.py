@@ -27,7 +27,7 @@ def basic_head(spec: ModelSpec, features: jax.Array) -> jax.Array:
 
 
 def roi_head(spec: ModelSpec, features: jax.Array,
-             proposals: jax.Array) -> jax.Array:
+             proposals: jax.Array, train: bool = False) -> jax.Array:
     """Temporal mean -> RoIAlign(7x7, 1/16, adaptive sampling) -> 7x7 max
     pool -> (N, 2048).  Reference ``head_helper.py:61-123``.
 
@@ -39,8 +39,11 @@ def roi_head(spec: ModelSpec, features: jax.Array,
     fmap = jnp.mean(features.astype(jnp.float32), axis=1)   # (B, H, W, C)
     res = spec.roi_resolution
     # The Pallas kernel's scalar-prefetch fmap indexing does not partition
-    # under multi-device auto-sharding; use it on single-chip programs only.
-    if spec.use_pallas and _on_tpu() and jax.device_count() == 1:
+    # under multi-device auto-sharding, and it defines no VJP; use it for
+    # single-chip inference programs only (training differentiates through
+    # the XLA path).
+    if (spec.use_pallas and not train and _on_tpu()
+            and jax.device_count() == 1):
         from lfb_tpu.ops.pallas_roi_align import roi_align_maxpool
         out = roi_align_maxpool(fmap, proposals, pooled=res,
                                 spatial_scale=spec.roi_spatial_scale)

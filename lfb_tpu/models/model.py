@@ -87,7 +87,7 @@ def forward(
                              bn_updates=bn_updates)
 
     if spec.head_type == 'roi':
-        clip_feat = roi_head(spec, feats, batch['proposals'])
+        clip_feat = roi_head(spec, feats, batch['proposals'], train=train)
     else:
         clip_feat = basic_head(spec, feats)
 

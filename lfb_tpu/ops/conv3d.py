@@ -37,12 +37,12 @@ def conv3d(
         pad = padding
     else:
         pad = [(int(p), int(p)) for p in padding]
-    in_dtype = x.dtype
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
-        w = w.astype(compute_dtype)
-    else:
-        w = w.astype(x.dtype)
+    w = w.astype(x.dtype)
+    # No preferred_element_type: XLA:TPU accumulates bf16 convs in f32
+    # internally and emits the operand dtype, and the conv transpose rule
+    # (reverse-mode AD) requires matching operand/cotangent dtypes.
     out = lax.conv_general_dilated(
         x, w,
         window_strides=tuple(int(s) for s in strides),
@@ -50,11 +50,10 @@ def conv3d(
         rhs_dilation=tuple(int(d) for d in dilation),
         dimension_numbers=DIMENSION_NUMBERS,
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
     )
     if bias is not None:
         out = out + bias.astype(out.dtype)
-    return out.astype(in_dtype if compute_dtype is None else compute_dtype)
+    return out
 
 
 def conv1_space_to_depth(x: jax.Array, w: jax.Array, *, temporal_pad: int,
