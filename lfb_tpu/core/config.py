@@ -257,6 +257,10 @@ def default_config() -> Config:
     # stem).  Off by default: the packed conv shape triggers nondeterministic
     # multi-minute compiles on some XLA:TPU remote-compile services.
     c.TPU.CONV1_SPACE_TO_DEPTH = False
+    # Experimental Pallas stem kernel (see ops/pallas_stem.py): deterministic
+    # compile but im2col read amplification currently cancels the MXU win
+    # (91ms vs 77ms plain conv at B=16); kept for further tuning.
+    c.TPU.PALLAS_STEM = False
     c.TPU.REMAT = 'stage'              # '', 'stage', or 'block' rematerialization
     c.TPU.MESH_SHAPE = []              # e.g. [8] -> data mesh; [] -> all devices
     # Keep the LFB in HBM and gather windows on device instead of shipping

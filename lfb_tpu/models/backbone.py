@@ -112,7 +112,14 @@ def backbone_forward(spec: ModelSpec, params: Params, x: jax.Array, *,
         epsilon=spec.bn_epsilon, bn_updates=bn_updates)
 
     B, T, H, W, _ = x.shape
-    if (spec.use_conv1_s2d and H % 2 == 0 and W % 2 == 0
+    h = None
+    if (spec.use_pallas_stem and not train and temp_strides[0][0] == 1):
+        from lfb_tpu.ops.pallas_stem import stem_conv_s2d
+        h = stem_conv_s2d(x, params['conv1_w'],
+                          temporal_pad=use_temp[0][0])
+    if h is not None:
+        pass
+    elif (spec.use_conv1_s2d and H % 2 == 0 and W % 2 == 0
             and temp_strides[0][0] == 1):
         h = conv1_space_to_depth(x, params['conv1_w'],
                                  temporal_pad=use_temp[0][0])

@@ -117,6 +117,7 @@ class ModelSpec:
     compute_dtype: str = 'bfloat16'
     use_pallas: bool = True
     use_conv1_s2d: bool = False
+    use_pallas_stem: bool = False
     remat: str = 'stage'
 
     @property
@@ -223,5 +224,7 @@ def build_spec(cfg, split: str, lfb_infer_only: bool = False) -> ModelSpec:
         use_pallas=cfg.TPU.USE_PALLAS,
         use_conv1_s2d=cfg.TPU['CONV1_SPACE_TO_DEPTH']
         if 'CONV1_SPACE_TO_DEPTH' in cfg.TPU else False,
+        use_pallas_stem=cfg.TPU['PALLAS_STEM']
+        if 'PALLAS_STEM' in cfg.TPU else False,
         remat=cfg.TPU.REMAT,
     )

@@ -83,3 +83,29 @@ def test_pallas_roi_align_maxpool_matches_xla(monkeypatch):
     # The kernel gathers in bf16 (VMEM budget); tolerance reflects that.
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_pallas_stem_conv_matches_conv3d(monkeypatch):
+    from lfb_tpu.ops import pallas_stem
+    from lfb_tpu.ops.conv3d import conv3d
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, 'pallas_call',
+                        lambda *a, **k: orig(*a, interpret=True, **k))
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 4, 64, 96, 3), jnp.float32)
+    for kt, pad in ((5, 2), (1, 0)):
+        w = jnp.asarray(rng.randn(kt, 7, 7, 3, 64), jnp.float32)
+        ref = conv3d(x, w, strides=(1, 2, 2), padding=(pad, 3, 3))
+        out = pallas_stem.stem_conv_s2d(x, w, temporal_pad=pad,
+                                        compute_dtype=jnp.float32)
+        assert out is not None
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4, err_msg=str(kt))
+
+    # unsupported envelope -> None
+    assert pallas_stem.stem_conv_s2d(
+        jnp.zeros((1, 2, 30, 30, 3)), jnp.zeros((5, 7, 7, 3, 64)),
+        temporal_pad=2) is None
