@@ -39,21 +39,51 @@ _ROW_BLOCK = 32
 _CK = 256
 
 
-def _stem_kernel(x_ref, w_ref, out_ref, acc, *, kt: int):
-    dt = pl.program_id(3)
+def _stem_kernel(xr_ref, w_ref, out_ref, scratch, sems, *, kt: int,
+                 t_padded: int):
+    b = pl.program_id(0)
+    r = pl.program_id(1)
+    t = pl.program_id(2)
+    ring = kt + 1
 
-    @pl.when(dt == 0)
+    def dma(s, slot):
+        return pltpu.make_async_copy(
+            xr_ref.at[b, s, r], scratch.at[slot], sems.at[slot])
+
+    # Rolling window over the padded T axis: slice s lives in slot s % ring.
+    # One-step lookahead keeps the newest slice's DMA overlapped with the
+    # previous step's matmuls.
+    @pl.when(t == 0)
     def _():
-        acc[...] = jnp.zeros_like(acc)
+        for s in range(kt):
+            dma(s, s).start()
+        @pl.when(kt < t_padded)
+        def _():
+            dma(kt, kt % ring).start()
+        for s in range(kt):
+            dma(s, s).wait()
 
-    patch = x_ref[0, 0, 0]                          # (RB*wp, 256)
-    acc[...] += jax.lax.dot_general(
-        patch, w_ref[dt], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-    @pl.when(dt == kt - 1)
+    @pl.when(t > 0)
     def _():
-        out_ref[0, 0, 0] = acc[...].astype(out_ref.dtype)
+        s_wait = t + kt - 1
+        dma(s_wait, s_wait % ring).wait()
+        s_next = t + kt
+        @pl.when(s_next < t_padded)
+        def _():
+            dma(s_next, s_next % ring).start()
+
+    # Static slot indices per ring phase: dynamic scratch[slot] reads cost a
+    # full VMEM copy each (measured ~4x kernel slowdown).
+    for phase in range(ring):
+        @pl.when(t % ring == phase)
+        def _(phase=phase):
+            acc = jnp.zeros((scratch.shape[1], 64), jnp.float32)
+            for dt in range(kt):
+                acc = acc + jax.lax.dot_general(
+                    scratch[(phase + dt) % ring], w_ref[dt],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            out_ref[0, 0, 0] = acc.astype(out_ref.dtype)
 
 
 def stem_conv_s2d(x: jax.Array, w: jax.Array, *, temporal_pad: int,
@@ -106,24 +136,28 @@ def _stem_conv_impl(x, w, *, temporal_pad, compute_dtype):
     w2 = w2.transpose(0, 1, 3, 2, 4, 5, 6).reshape(kt, unfold, cout)
     w2 = jnp.pad(w2, ((0, 0), (0, _CK - unfold), (0, 0))).astype(compute_dtype)
 
-    kernel = functools.partial(_stem_kernel, kt=kt)
     rows = _ROW_BLOCK * wp
+    t_padded = T + 2 * temporal_pad
+    # xr laid out (B, T', R, rows, CK) so per-(b, s, r) slices are contiguous.
+    kernel = functools.partial(_stem_kernel, kt=kt, t_padded=t_padded)
     out = pl.pallas_call(
         kernel,
-        grid=(B, hp // _ROW_BLOCK, T, kt),
+        grid=(B, hp // _ROW_BLOCK, T),
         in_specs=[
-            pl.BlockSpec((1, 1, 1, rows, _CK),
-                         lambda b, r, t, dt: (b, t + dt, r, 0, 0)),
-            pl.BlockSpec((kt, _CK, cout), lambda b, r, t, dt: (0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # xr stays in HBM
+            pl.BlockSpec((kt, _CK, cout), lambda b, r, t: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, 1, rows, cout),
-                               lambda b, r, t, dt: (b, t, r, 0, 0)),
+                               lambda b, r, t: (b, t, r, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(
             (B, T, hp // _ROW_BLOCK, rows, cout), compute_dtype),
-        scratch_shapes=[pltpu.VMEM((rows, cout), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((kt + 1, rows, _CK), compute_dtype),
+            pltpu.SemaphoreType.DMA((kt + 1,)),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * T * hp * wp * kt * _CK * cout,
-            bytes_accessed=2 * B * T * hp * wp * (kt * _CK + cout),
+            bytes_accessed=2 * B * T * hp * wp * (_CK + cout),
             transcendentals=0,
         ),
     )(xr, w2)
