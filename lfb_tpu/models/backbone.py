@@ -247,13 +247,11 @@ def _spacetime_nonlocal(spec: ModelSpec, params: Params, prefix: str,
     k = phi.reshape(B, -1, dim_inner)
     v = g.reshape(B, -1, dim_inner)
 
-    # The fused Pallas kernel defines no VJP yet; training differentiates
-    # through the XLA attention path.
     att = scaled_softmax_attention(
         q, k, v,
         scale=dim_inner ** -0.5 if (nl.use_softmax and nl.use_scale) else None,
         use_softmax=nl.use_softmax,
-        use_pallas=(spec.use_pallas and not train) if nl.use_softmax else False)
+        use_pallas=spec.use_pallas if nl.use_softmax else False)
     t = att.reshape(B, T, H, W, dim_inner)
 
     out = conv1x1(t, params[prefix + '_out_w'], bias('_out'))

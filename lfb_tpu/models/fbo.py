@@ -131,7 +131,7 @@ def _nl_core(spec: ModelSpec, params: Params, prefix: str, a: jax.Array,
     t = scaled_softmax_attention(
         theta, phi, g,
         scale=f.latent_dim ** -0.5 if f.scale else None,
-        use_pallas=spec.use_pallas and not train)[:, 0, :]   # (N, L)
+        use_pallas=spec.use_pallas)[:, 0, :]          # (N, L)
 
     if f.pre_act:
         if f.pre_act_ln:

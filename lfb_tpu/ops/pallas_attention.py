@@ -36,7 +36,7 @@ _Q_TILE = 256
 _MAX_KV_BYTES = 6 * 1024 * 1024
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float):
     q = q_ref[0].astype(jnp.float32)           # (TQ, C)
     k = k_ref[0].astype(jnp.float32)           # (Nk, C)
     v = v_ref[0].astype(jnp.float32)           # (Nk, C)
@@ -51,32 +51,71 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     p = e / denom
     out = jnp.dot(p, v, preferred_element_type=jnp.float32)  # (TQ, C)
     o_ref[0] = out.astype(o_ref.dtype)
+    lse_ref[0] = (m[:, 0] + jnp.log(denom[:, 0]))[:, None]
 
 
-def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                    *, scale: float | None = None) -> jax.Array | None:
-    """Fused attention over (B, Nq, C) x (B, Nk, C). Returns None when the
-    shape regime is outside this kernel's envelope (caller falls back to the
-    XLA path)."""
-    if not _HAS_PALLAS:
-        return None
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                     dq_ref, dk_ref, dv_ref, *, scale: float):
+    """Backward for one q-tile; dk/dv accumulate across the q-tile grid dim
+    (the (b,) output blocks persist in VMEM while the inner grid dim
+    sweeps)."""
+    qi = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32)            # (TQ, C)
+    k = k_ref[0].astype(jnp.float32)            # (Nk, C)
+    v = v_ref[0].astype(jnp.float32)            # (Nk, C)
+    do = do_ref[0].astype(jnp.float32)          # (TQ, C)
+    lse = lse_ref[0]                            # (TQ, 1)
+    delta = delta_ref[0]                        # (TQ, 1)
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    if scale != 1.0:
+        logits = logits * scale
+    p = jnp.exp(logits - lse)                   # (TQ, Nk)
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)                       # (TQ, Nk)
+
+    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+    if scale != 1.0:
+        dq = dq * scale
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    if scale != 1.0:
+        dk = dk * scale
+    dk_ref[0] += dk.astype(dk_ref.dtype)
+    dv_ref[0] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+
+def _supported(q, k):
     B, Nq, C = q.shape
     Nk = k.shape[1]
-    if C % 128 != 0:
-        return None
+    if not _HAS_PALLAS or C % 128 != 0:
+        return False
     kv_bytes = 2 * Nk * C * jnp.dtype(jnp.float32).itemsize
-    if kv_bytes > _MAX_KV_BYTES:
-        return None
+    return kv_bytes <= _MAX_KV_BYTES
 
+
+def _fwd_call(q, k, v, scale: float):
+    B, Nq, C = q.shape
+    Nk = k.shape[1]
     tile = min(_Q_TILE, _round_up(Nq, 8))
     nq_pad = _round_up(Nq, tile)
     if nq_pad != Nq:
         q = jnp.pad(q, ((0, 0), (0, nq_pad - Nq), (0, 0)))
-
     grid = (B, nq_pad // tile)
-    kernel = functools.partial(
-        _attn_kernel, scale=float(scale) if scale is not None else 1.0)
-    out = pl.pallas_call(
+    kernel = functools.partial(_attn_kernel, scale=scale)
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -87,9 +126,16 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             pl.BlockSpec((1, Nk, C), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, nq_pad, C), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, nq_pad, C), q.dtype),
+            jax.ShapeDtypeStruct((B, nq_pad, 1), jnp.float32),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * nq_pad * Nk * C * 2,
             bytes_accessed=(B * nq_pad * C + 2 * B * Nk * C) * 4,
@@ -98,7 +144,82 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     )(q, k, v)
     if nq_pad != Nq:
         out = out[:, :Nq, :]
-    return out
+        lse = lse[:, :Nq, :]
+    return out, lse
+
+
+def _bwd_call(q, k, v, do, lse, delta, scale: float):
+    B, Nq, C = q.shape
+    Nk = k.shape[1]
+    tile = min(_Q_TILE, _round_up(Nq, 8))
+    nq_pad = _round_up(Nq, tile)
+    if nq_pad != Nq:
+        pad = ((0, 0), (0, nq_pad - Nq), (0, 0))
+        q = jnp.pad(q, pad)
+        do = jnp.pad(do, pad)
+        # Padded rows must contribute nothing: exp(0 - inf) = 0.
+        lse = jnp.pad(lse, pad, constant_values=jnp.inf)
+        delta = jnp.pad(delta, pad)
+    grid = (B, nq_pad // tile)
+    kernel = functools.partial(_attn_bwd_kernel, scale=scale)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, Nk, C), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, Nk, C), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, tile, 1), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, tile, 1), lambda b, i: (b, i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, Nk, C), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, Nk, C), lambda b, i: (b, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, nq_pad, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, Nk, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, Nk, C), jnp.float32),
+        ),
+    )(q, k, v, do, lse, delta)
+    if nq_pad != Nq:
+        dq = dq[:, :Nq, :]
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_attention(q, k, v, scale: float):
+    return _fwd_call(q, k, v, scale)[0]
+
+
+def _fused_attention_fwd(q, k, v, scale: float):
+    out, lse = _fwd_call(q, k, v, scale)
+    return out, (q, k, v, out, lse)
+
+
+def _fused_attention_bwd(scale: float, residuals, g):
+    q, k, v, out, lse = residuals
+    # delta = rowsum(dO * O) -- the softmax-normalization correction term.
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1, keepdims=True)
+    dq, dk, dv = _bwd_call(q, k, v, g, lse, delta, scale)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+
+
+def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    *, scale: float | None = None) -> jax.Array | None:
+    """Fused attention over (B, Nq, C) x (B, Nk, C), differentiable (custom
+    flash-style VJP).  Returns None when the shape regime is outside this
+    kernel's envelope (caller falls back to the XLA path)."""
+    if not _supported(q, k):
+        return None
+    return _fused_attention(q, k, v,
+                            float(scale) if scale is not None else 1.0)
 
 
 def _round_up(x: int, m: int) -> int:

@@ -22,7 +22,7 @@ def interpret_attention(q, k, v, scale):
     if nq_pad != Nq:
         q = jnp.pad(q, ((0, 0), (0, nq_pad - Nq), (0, 0)))
     kernel = functools.partial(pa._attn_kernel, scale=float(scale))
-    out = pl.pallas_call(
+    out, _ = pl.pallas_call(
         kernel,
         grid=(B, nq_pad // tile),
         in_specs=[
@@ -30,8 +30,10 @@ def interpret_attention(q, k, v, scale):
             pl.BlockSpec((1, Nk, C), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, Nk, C), lambda b, i: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, nq_pad, C), q.dtype),
+        out_specs=(pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0)),
+                   pl.BlockSpec((1, tile, 1), lambda b, i: (b, i, 0))),
+        out_shape=(jax.ShapeDtypeStruct((B, nq_pad, C), q.dtype),
+                   jax.ShapeDtypeStruct((B, nq_pad, 1), jnp.float32)),
         interpret=True,
     )(q, k, v)
     return out[:, :Nq, :]
@@ -109,3 +111,41 @@ def test_pallas_stem_conv_matches_conv3d(monkeypatch):
     assert pallas_stem.stem_conv_s2d(
         jnp.zeros((1, 2, 30, 30, 3)), jnp.zeros((5, 7, 7, 3, 64)),
         temporal_pad=2) is None
+
+
+def test_pallas_attention_custom_vjp_matches_xla(monkeypatch):
+    """Flash-style custom VJP gradients match XLA autodiff (interpret mode)."""
+    from jax.experimental import pallas as pl
+    from lfb_tpu.ops import pallas_attention as pa
+    from lfb_tpu.ops.attention import _attention_xla
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, 'pallas_call',
+                        lambda *a, **k: orig(*a, interpret=True, **k))
+    monkeypatch.setattr(pa, '_HAS_PALLAS', True)
+    monkeypatch.setattr(pa, '_supported', lambda q, k: True)
+
+    rng = np.random.RandomState(0)
+    B, Nq, Nk, C = 2, 12, 8, 128
+    q = jnp.asarray(rng.randn(B, Nq, C), jnp.float32)
+    k = jnp.asarray(rng.randn(B, Nk, C), jnp.float32)
+    v = jnp.asarray(rng.randn(B, Nk, C), jnp.float32)
+    scale = C ** -0.5
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(pa.fused_attention(q, k, v, scale=scale) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(_attention_xla(q, k, v, scale=scale, mask=None,
+                                      use_softmax=True) ** 2)
+
+    out_p = pa.fused_attention(q, k, v, scale=scale)
+    out_x = _attention_xla(q, k, v, scale=scale, mask=None, use_softmax=True)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=2e-2, atol=2e-3)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gp, gx, 'qkv'):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=5e-2, err_msg=name)
