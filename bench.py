@@ -137,9 +137,26 @@ def main():
     from __graft_entry__ import _flagship_cfg
 
     cfg = _flagship_cfg(tiny=False)
-    batch_clips = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    if len(sys.argv) > 1:
+        candidates = [int(sys.argv[1])]
+    else:
+        candidates = [48, 32, 16]   # largest batch that fits HBM wins
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     boxes_per_clip = 4
+    for batch_clips in candidates:
+        try:
+            _run_inference_bench(cfg, batch_clips, iters, boxes_per_clip)
+            return
+        except Exception as e:
+            if 'memory' not in str(e).lower() or batch_clips == candidates[-1]:
+                raise
+            print('# batch {} OOM, trying smaller'.format(batch_clips),
+                  file=sys.stderr)
+
+
+def _run_inference_bench(cfg, batch_clips, iters, boxes_per_clip):
+    import jax
+    from lfb_tpu.models import build_spec, forward, init_params
     n_boxes = batch_clips * boxes_per_clip
     t, crop = cfg.TEST.VIDEO_LENGTH, cfg.TEST.CROP_SIZE
 
