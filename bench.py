@@ -86,6 +86,9 @@ def bench_train(batch_clips: int, iters: int):
     cfg = _flagship_cfg(tiny=False)
     cfg.TRAIN.VIDEO_LENGTH = 32
     cfg.TRAIN.CROP_SIZE = 224
+    # The flagship at B<=8 fits HBM without rematerialization (+15% step
+    # speed); TPU.REMAT='stage' remains the default for larger configs.
+    cfg.TPU.REMAT = ''
     spec = build_spec(cfg, 'train')
     params = init_params(jax.random.PRNGKey(0), spec)
     trainable, frozen = split_params(spec, params)
