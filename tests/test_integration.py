@@ -259,3 +259,42 @@ def test_trainer_ava_mini_eval_phase_injection(tmp_path):
     assert trainer.test_db.detect_thresh == cfg.AVA.DETECTION_SCORE_THRESH_TRAIN
     trainer.train_loader.shutdown()
     trainer.test_loader.shutdown()
+
+
+def test_ava_lfb_extraction_and_device_bank_training(tmp_path):
+    """Full AVA bank flow: box_pooled sweep -> {video:{sec:[feats]}} bank ->
+    HBM device bank -> FBO-NL training step."""
+    from lfb_tpu.bank import get_lfb
+    from lfb_tpu.train.trainer import Trainer
+
+    cfg = tiny_cfg(synthetic.build_ava(str(tmp_path)))
+    cfg.CHECKPOINT.DIR = str(tmp_path / 'out')
+    os.makedirs(cfg.CHECKPOINT.DIR, exist_ok=True)
+    cfg.TEST.DATA_TYPE = 'val'
+    cfg.LFB.ENABLED = True
+    cfg.LFB.FBO_TYPE = 'nl'
+    cfg.LFB.WINDOW_SIZE = 3
+    cfg.SOLVER.MAX_ITER = 1
+    C.finalize(cfg)
+
+    from lfb_tpu.models import build_spec, init_params
+    from lfb_tpu.train import checkpoints as ckpt
+    base_spec = build_spec(cfg, 'val', lfb_infer_only=True)
+    base_params = {k: np.asarray(v) for k, v in init_params(
+        jax.random.PRNGKey(0), base_spec).items()}
+    base_file = str(tmp_path / 'baseline.pkl')
+    ckpt.save_params(base_file, base_params, model_iter=0, lr=0.01)
+
+    val_lfb = get_lfb(cfg, base_file, is_train=False)
+    train_lfb = get_lfb(cfg, base_file, is_train=True)
+    # Synthetic AVA: 2 videos x 4 annotated secs, 2 boxes each.
+    assert set(val_lfb) == {0, 1}
+    secs = next(iter(val_lfb.values()))
+    assert all(len(feats) >= 1 for feats in secs.values())
+    assert next(iter(secs.values()))[0].shape == (2048,)
+
+    cfg2 = C.clone(cfg, {'TPU.DEVICE_BANK': True})
+    trainer = Trainer(cfg2, train_lfb=train_lfb, test_lfb=val_lfb)
+    assert trainer.train_db.device_bank
+    last = trainer.train()
+    assert last and os.path.isfile(last)
