@@ -49,22 +49,31 @@ class AvaDeviceBank:
 
     @classmethod
     def build(cls, host_bank: Dict[int, Dict[int, list]], *, window_size: int,
-              k: int, lfb_dim: int = 2048, k_store: int = 16,
+              k: int, lfb_dim: int = 2048, k_store: int = 32,
               dtype=jnp.float32) -> 'AvaDeviceBank':
         num_videos = max(host_bank.keys()) + 1 if host_bank else 0
         rows = []
         table = np.full((num_videos, AVA_NUM_SECS, k_store), -1, np.int32)
         counts = np.zeros((num_videos, AVA_NUM_SECS), np.int32)
+        truncated = 0
         for video, secs in host_bank.items():
             for sec, feats in secs.items():
                 si = sec - AVA_SEC_BASE
                 if not 0 <= si < AVA_NUM_SECS:
                     continue
                 n = min(len(feats), k_store)
+                if len(feats) > k_store:
+                    truncated += 1
                 counts[video, si] = n
                 for j in range(n):
                     table[video, si, j] = len(rows)
                     rows.append(np.asarray(feats[j], np.float32))
+        if truncated:
+            import logging
+            logging.getLogger(__name__).warning(
+                'AvaDeviceBank: %d (video, sec) entries exceeded k_store=%d; '
+                'sampling draws from the stored prefix only (host path '
+                'samples from all features)', truncated, k_store)
         zero_row = np.zeros((lfb_dim,), np.float32)
         flat = np.stack(rows + [zero_row]) if rows else zero_row[None]
         zero_idx = flat.shape[0] - 1
@@ -208,7 +217,9 @@ def build_device_bank(cfg, host_bank: Dict, video_name_to_idx=None):
     if cfg.DATASET == 'ava':
         return AvaDeviceBank.build(
             host_bank, window_size=cfg.LFB.WINDOW_SIZE,
-            k=cfg.AVA.LFB_MAX_NUM_FEAT_PER_STEP, lfb_dim=cfg.LFB.LFB_DIM)
+            k=cfg.AVA.LFB_MAX_NUM_FEAT_PER_STEP, lfb_dim=cfg.LFB.LFB_DIM,
+            k_store=cfg.TPU['BANK_K_STORE'] if 'BANK_K_STORE' in cfg.TPU
+            else 32)
     if cfg.DATASET == 'charades':
         return FrameDeviceBank.build(
             host_bank, window_size=cfg.LFB.WINDOW_SIZE,

@@ -80,11 +80,8 @@ def load_lfb(cfg, is_train: bool) -> Dict:
     path = os.path.join(cfg.LFB.LOAD_LFB_PATH,
                         'train_lfb.pkl' if is_train else 'val_lfb.pkl')
     logger.info('Loading LFB from %s', path)
-    with open(path, 'rb') as f:
-        try:
-            return pickle.load(f, encoding='latin1')
-        except TypeError:  # pragma: no cover
-            return pickle.load(f)
+    from lfb_tpu.train.checkpoints import read_pkl
+    return read_pkl(path)
 
 
 def write_lfb(cfg, lfb: Dict, is_train: bool) -> str:

@@ -146,8 +146,11 @@ class AvaDataset:
             for vi in range(len(self.boxes_and_labels))
             for sec in self.boxes_and_labels[vi]
             if sec in AVA_VALID_FRAMES and self.boxes_and_labels[vi][sec]]
+        # Count what the fixed-shape batches actually emit (keyframes over
+        # the MAX_BOXES_PER_CLIP cap are truncated in minibatch()), so the
+        # metric trim in eval/metrics.get_ava_eval_arrays stays aligned.
         self.num_boxes_used = sum(
-            len(self.boxes_and_labels[vi][sec])
+            min(len(self.boxes_and_labels[vi][sec]), cfg.TPU.MAX_BOXES_PER_CLIP)
             for vi, sec, _ in self.keyframe_indices)
 
         if split == 'train':

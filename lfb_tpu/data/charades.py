@@ -55,16 +55,12 @@ def sample_lfb_window(video_lfb: dict, center_idx: int, *, window_size: int,
                       lfb_dim: int) -> np.ndarray:
     """(window_size, lfb_dim) zero-padded window of bank features around the
     clip center (reference ``charades.py:251-276``)."""
+    from lfb_tpu.data.lfb_windows import fill_window
     secs = window_size // clips_per_second
     begin = int(np.round(center_idx - (float(secs) / 2.0 * fps)))
-    end = begin + secs * fps
-    out = np.zeros((window_size, lfb_dim), np.float32)
-    k = 0
-    for frame_idx in range(begin, end + 1):
-        if frame_idx in video_lfb and k < window_size:
-            out[k] = video_lfb[frame_idx]
-            k += 1
-    if k == 0:
+    out = fill_window(video_lfb, begin, begin + secs * fps,
+                      window_size=window_size, lfb_dim=lfb_dim)
+    if not out.any():
         logger.warning('No LFB features in window at frame %d', center_idx)
     return out
 

@@ -98,14 +98,11 @@ def lfb_frame_annotations(image_paths: dict, fps: int,
 
 def sample_verb_lfb(video_lfb: dict, center_idx: int, *, window_size: int,
                     fps: int, lfb_dim: int) -> np.ndarray:
+    from lfb_tpu.data.lfb_windows import fill_window
     half_len = (window_size * fps) // 2
-    out = np.zeros((window_size, lfb_dim), np.float32)
-    k = 0
-    for frame_idx in range(center_idx - half_len, center_idx + half_len + 1):
-        if frame_idx in video_lfb and k < window_size:
-            out[k] = video_lfb[frame_idx]
-            k += 1
-    return out
+    return fill_window(video_lfb, center_idx - half_len,
+                       center_idx + half_len,
+                       window_size=window_size, lfb_dim=lfb_dim)
 
 
 def sample_noun_lfb(video_lfb: dict, center_idx: int, *, window_size: int,

@@ -63,9 +63,21 @@ class DataLoader:
     def _batch_indices(self, batch_idx: int) -> List[int]:
         size = self.db.db_size()
         if self.is_train:
-            # Train sampling is uniform-random inside db.minibatch; indices
-            # are placeholders (matches reference AVA/EPIC train behavior).
-            return list(range(self.batch_size))
+            # Epoch-shuffled traversal, stateless: batch i covers positions
+            # [i*B, i*B+B) of the permutation for epoch i*B//size (matches
+            # the reference's per-epoch index shuffle, dataloader.py:180-221;
+            # AVA/EPIC resample uniformly inside minibatch and ignore these,
+            # Charades consumes them directly).
+            B = self.batch_size
+            out = []
+            pos = batch_idx * B
+            while len(out) < B:
+                epoch, offset = divmod(pos + len(out), max(size, 1))
+                perm = np.random.default_rng(
+                    (self.seed, 999983, epoch)).permutation(size)
+                take = min(B - len(out), size - offset)
+                out.extend(int(i) for i in perm[offset:offset + take])
+            return out
         start = (batch_idx * self.batch_size) % (
             self.num_batches() * self.batch_size)
         idx = [min(start + i, size - 1) for i in range(self.batch_size)]

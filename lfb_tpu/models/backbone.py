@@ -130,13 +130,18 @@ def backbone_forward(spec: ModelSpec, params: Params, x: jax.Array, *,
     h = jax.nn.relu(h)
     h = max_pool_3d(h, (1, 3, 3), (1, 2, 2), (0, 1, 1))
 
-    remat = spec.remat == 'stage' and (spec.use_affine or not train)
+    # Rematerialization: 'stage' checkpoints whole res-stages, 'block'
+    # checkpoints every residual block (finer grain, less memory).  Only
+    # meaningful in training, and disabled in true-BN mode where batch
+    # statistics flow out through a side dict.
+    remat = (spec.remat if (train and (spec.use_affine or bn_updates is None))
+             else '')
 
     def run_stage(stage_i, h, dilation, stride):
         fn = functools.partial(_stage_forward, spec, params, stage_i,
                                dilation=dilation, stride=stride, train=train,
-                               bn_updates=bn_updates)
-        if remat and train:
+                               bn_updates=bn_updates, remat_block=remat == 'block')
+        if remat == 'stage':
             fn = jax.checkpoint(fn)
         return fn(h)
 
@@ -154,7 +159,8 @@ def backbone_forward(spec: ModelSpec, params: Params, x: jax.Array, *,
 
 def _stage_forward(spec: ModelSpec, params: Params, stage_i: int,
                    h: jax.Array, *, dilation: int, stride: int, train: bool,
-                   bn_updates: Dict | None) -> jax.Array:
+                   bn_updates: Dict | None,
+                   remat_block: bool = False) -> jax.Array:
     use_temp, temp_strides = spec.arc
     stage_name = 'res{}'.format(stage_i + 2)
     utc, tst = use_temp[stage_i + 1], temp_strides[stage_i + 1]
@@ -164,10 +170,12 @@ def _stage_forward(spec: ModelSpec, params: Params, stage_i: int,
     for idx in range(spec.block_counts[stage_i]):
         prefix = '{}_{}'.format(stage_name, idx)
         block_stride = stride if idx == 0 else 1
-        h = _bottleneck(spec, params, prefix, h, dim_out,
-                        stride=block_stride, temp_stride=tst[idx],
-                        use_temp_conv=utc[idx], dilation=dilation,
-                        train=train, bn_updates=bn_updates)
+        block = functools.partial(
+            _bottleneck, spec, params, prefix, dim_out=dim_out,
+            stride=block_stride, temp_stride=tst[idx],
+            use_temp_conv=utc[idx], dilation=dilation,
+            train=train, bn_updates=bn_updates)
+        h = jax.checkpoint(block)(h) if remat_block else block(h)
         if idx in nl_after:
             nl_prefix = 'nonlocal_conv{}_{}'.format(stage_i + 2, idx)
             grouped = spec.use_affine and stage_name == 'res3'
@@ -177,7 +185,7 @@ def _stage_forward(spec: ModelSpec, params: Params, stage_i: int,
 
 
 def _bottleneck(spec: ModelSpec, params: Params, prefix: str, x: jax.Array,
-                dim_out: int, *, stride: int, temp_stride: int,
+                *, dim_out: int, stride: int, temp_stride: int,
                 use_temp_conv: int, dilation: int, train: bool,
                 bn_updates: Dict | None) -> jax.Array:
     norm = functools.partial(

@@ -46,9 +46,11 @@ def scaled_softmax_attention(
         NONLOCAL.USE_SOFTMAX=False path -- mean aggregation: p = affinity / Nk
         (``lib/models/nonlocal_helper.py:107-117``).
     """
+    # A caller-passed flag expresses intent; backend availability (TPU,
+    # single device) always gates the fused path.
     if use_pallas is None:
-        use_pallas = _pallas_available()
-    if use_pallas and use_softmax and mask is None:
+        use_pallas = True
+    if use_pallas and _pallas_available() and use_softmax and mask is None:
         from lfb_tpu.ops.pallas_attention import fused_attention
         out = fused_attention(q, k, v, scale=scale)
         if out is not None:

@@ -25,7 +25,7 @@ logger = logging.getLogger(__name__)
 
 
 def compute_precise_bn_stats(spec: ModelSpec, params: Dict, batches,
-                             num_iters: int) -> Dict:
+                             num_iters: int, bank=None) -> Dict:
     """Return params with ``*_bn_rm``/``*_bn_riv`` replaced by aggregated
     batch statistics over ``num_iters`` minibatches.
 
@@ -34,8 +34,12 @@ def compute_precise_bn_stats(spec: ModelSpec, params: Dict, batches,
     """
     assert not spec.use_affine, 'precise-BN is meaningless in affine mode'
 
+    from lfb_tpu.train.steps import _inject_device_bank_lfb
+
     @jax.jit
     def stats_step(params, batch):
+        batch = _inject_device_bank_lfb(spec, bank, batch,
+                                        jax.random.PRNGKey(0))
         out = forward(spec, params, batch, train=True,
                       rng=jax.random.PRNGKey(0))
         return out['bn_updates']

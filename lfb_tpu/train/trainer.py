@@ -195,11 +195,14 @@ class Trainer:
         if not cfg.TRAIN.COMPUTE_PRECISE_BN or self.spec.use_affine:
             return
         from lfb_tpu.train.precise_bn import compute_precise_bn_stats
+        bank = getattr(self.train_db, 'lfb', None)
+        if not hasattr(bank, 'gather'):
+            bank = None
         params = compute_precise_bn_stats(
             self.spec, self.params(),
             (shard_batch(self.mesh, b) for b in self.train_loader.batches(
                 num_batches=cfg.TRAIN.ITER_COMPUTE_PRECISE_BN)),
-            cfg.TRAIN.ITER_COMPUTE_PRECISE_BN)
+            cfg.TRAIN.ITER_COMPUTE_PRECISE_BN, bank=bank)
         for name, value in params.items():
             if name in self.frozen:
                 self.frozen[name] = jnp.asarray(value)

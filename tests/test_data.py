@@ -335,3 +335,36 @@ def test_loader_propagates_worker_exceptions(tmp_path):
     with pytest.raises(RuntimeError, match='decode exploded'):
         next(iter(loader.batches(1)))
     loader.shutdown()
+
+
+def test_train_indices_cover_all_videos(tmp_path):
+    """Regression: Charades training consumes loader indices directly; the
+    train loader must traverse an epoch-shuffled permutation of the whole
+    DB, not constant placeholder indices."""
+    cfg = small_cfg(synthetic.build_charades(str(tmp_path), num_videos=2))
+    db = get_input_db(cfg, 'train')
+
+    class CountingDB:
+        def db_size(self):
+            return 10
+
+        def minibatch(self, indices, rng):
+            return {'indices': np.array(indices)}
+
+    loader = DataLoader(CountingDB(), batch_size=4, is_train=True, seed=3)
+    seen = []
+    for i, b in enumerate(loader.batches(5)):
+        seen.extend(b['indices'].tolist())
+    loader.shutdown()
+    # Two epochs of size 10: each index appears exactly twice.
+    assert sorted(seen) == sorted(list(range(10)) * 2)
+    # Shuffled, not sequential.
+    assert seen[:10] != list(range(10))
+
+    # Determinism across loader instances.
+    loader2 = DataLoader(CountingDB(), batch_size=4, is_train=True, seed=3)
+    seen2 = []
+    for b in loader2.batches(5):
+        seen2.extend(b['indices'].tolist())
+    loader2.shutdown()
+    assert seen == seen2

@@ -68,9 +68,10 @@ def test_bottleneck_matches_torch_reference():
     jparams = {k: jnp.asarray(v) for k, v in params.items()}
     x = rng.randn(2, 4, 8, 8, dim_in).astype('f')
 
-    out = _bottleneck(spec, jparams, 'res9_0', jnp.asarray(x), dim_out,
-                      stride=2, temp_stride=1, use_temp_conv=1, dilation=1,
-                      train=False, bn_updates=None)
+    out = _bottleneck(spec, jparams, 'res9_0', jnp.asarray(x),
+                      dim_out=dim_out, stride=2, temp_stride=1,
+                      use_temp_conv=1, dilation=1, train=False,
+                      bn_updates=None)
 
     # Independent torch reference (NCTHW).
     tx = torch.tensor(np.transpose(x, (0, 4, 1, 2, 3)))
