@@ -13,9 +13,14 @@ Two bank layouts:
     sampling keeps <=K random features per second (zero-padded), matching
     host ``sample_lfb_window`` semantics.
   * :class:`FrameDeviceBank` -- per-video frame-indexed features
-    (Charades / EPIC-verb); window sampling takes the first W features
-    whose frame id falls in the window, exactly like the host samplers
-    (``charades.py:251-276``, ``epic.py:310-331``).
+    (Charades / EPIC-verb / EPIC-noun); window sampling takes the first W
+    features whose frame id falls in the window, exactly like the host
+    samplers (``charades.py:251-276``, ``epic.py:310-331``).  Noun banks
+    store several detector features per frame (``epic.py:338-374``);
+    :meth:`FrameDeviceBank.build_noun` flattens them into repeated frame
+    ids (per-frame truncated to MAX_NUM_FEATS_PER_NOUN_LFB_FRAME, the same
+    cap the host sampler applies), which makes the reference's
+    early-exit fill the identical first-W-in-order gather.
 
 Gathers are pure jittable functions of int32 index arrays, so they run
 inside the train/eval step on the accelerator.
@@ -125,7 +130,8 @@ class FrameDeviceBank:
     def __init__(self, feats: jax.Array, frame_ids: jax.Array,
                  rows: jax.Array, *, window_size: int,
                  window_mode: str = 'charades', fps: int = 24,
-                 clips_per_second: int = 2):
+                 clips_per_second: int = 2, max_per_frame: int = 1,
+                 frames_per_second: int = 1):
         self.feats = feats          # (R+1, D); last row zero
         self.frame_ids = frame_ids  # (V, M) sorted, -1 padded
         self.rows = rows            # (V, M) row ids (zero row where padded)
@@ -133,6 +139,8 @@ class FrameDeviceBank:
         self.window_mode = window_mode
         self.fps = fps
         self.clips_per_second = clips_per_second
+        self.max_per_frame = max_per_frame
+        self.frames_per_second = frames_per_second
 
     def num_videos(self) -> int:
         return self.frame_ids.shape[0]
@@ -142,6 +150,11 @@ class FrameDeviceBank:
             return charades_window(center, window_size=self.window_size,
                                    clips_per_second=self.clips_per_second,
                                    fps=self.fps)
+        if self.window_mode == 'epic_noun':
+            return epic_noun_window(
+                center, window_size=self.window_size,
+                max_per_frame=self.max_per_frame,
+                frames_per_second=self.frames_per_second, fps=self.fps)
         assert self.window_mode == 'epic_verb', self.window_mode
         return epic_verb_window(center, window_size=self.window_size,
                                 fps=self.fps)
@@ -183,6 +196,52 @@ class FrameDeviceBank:
                    window_mode=window_mode, fps=fps,
                    clips_per_second=clips_per_second)
 
+    @classmethod
+    def build_noun(cls, host_bank: Dict, *, window_size: int,
+                   max_per_frame: int, frames_per_second: int, fps: int,
+                   lfb_dim: int = 2048, dtype=jnp.float32
+                   ) -> 'FrameDeviceBank':
+        """Noun banks: ``{video_idx: {frame: (n, D) detector feats}}``.
+
+        Flattens each frame's features (first ``max_per_frame``, the cap the
+        host sampler applies per frame, reference ``epic.py:352-356``) into
+        consecutive entries sharing the frame id; the order-preserving
+        first-W gather then reproduces the host early-exit fill exactly.
+        """
+        num_videos = max((int(k) for k in host_bank), default=-1) + 1
+        entries = {}
+        max_entries = window_size
+        for key, frames in host_bank.items():
+            vi = int(key)
+            flat = []
+            for frame in sorted(frames):
+                feats = np.asarray(frames[frame], np.float32)
+                if feats.size == 0:    # host sampler skips empty frames
+                    continue
+                if feats.ndim == 1:
+                    feats = feats[None]
+                for f in feats[:max_per_frame]:
+                    flat.append((frame, f))
+            entries[vi] = flat
+            max_entries = max(max_entries, len(flat))
+        frame_ids = np.full((num_videos, max_entries), -1, np.int32)
+        rows_tab = np.zeros((num_videos, max_entries), np.int32)
+        rows = []
+        for vi, flat in entries.items():
+            for j, (frame, f) in enumerate(flat):
+                frame_ids[vi, j] = frame
+                rows_tab[vi, j] = len(rows)
+                rows.append(f)
+        zero_row = np.zeros((lfb_dim,), np.float32)
+        flat_feats = np.stack(rows + [zero_row]) if rows else zero_row[None]
+        zero_idx = flat_feats.shape[0] - 1
+        rows_tab = np.where(frame_ids < 0, zero_idx, rows_tab)
+        return cls(jnp.asarray(flat_feats, dtype), jnp.asarray(frame_ids),
+                   jnp.asarray(rows_tab), window_size=window_size,
+                   window_mode='epic_noun', fps=fps,
+                   max_per_frame=max_per_frame,
+                   frames_per_second=frames_per_second)
+
     def gather(self, video_idx: jax.Array, begin: jax.Array,
                end: jax.Array) -> jax.Array:
         """(N,) video ids + window [begin, end] (inclusive, in frames) ->
@@ -211,8 +270,7 @@ def build_device_bank(cfg, host_bank: Dict, video_name_to_idx=None):
     HBM-resident form for the configured dataset.
 
     EPIC noun banks (multi-feature detector frames, ``epic.py:338-374``)
-    keep the host sampling path -- their ragged per-frame layout and
-    early-exit fill rule do not map to a fixed gather; returns None there.
+    flatten into repeated frame ids via :meth:`FrameDeviceBank.build_noun`.
     """
     if cfg.DATASET == 'ava':
         return AvaDeviceBank.build(
@@ -228,7 +286,11 @@ def build_device_bank(cfg, host_bank: Dict, video_name_to_idx=None):
             clips_per_second=cfg.CHARADES.LFB_CLIPS_PER_SECOND)
     if cfg.DATASET == 'epic':
         if cfg.EPIC.CLASS_TYPE == 'noun':
-            return None
+            return FrameDeviceBank.build_noun(
+                host_bank, window_size=cfg.LFB.WINDOW_SIZE,
+                max_per_frame=cfg.EPIC.MAX_NUM_FEATS_PER_NOUN_LFB_FRAME,
+                frames_per_second=cfg.EPIC.NOUN_LFB_FRAMES_PER_SECOND,
+                fps=cfg.EPIC.FPS, lfb_dim=cfg.LFB.LFB_DIM)
         assert video_name_to_idx is not None, \
             'EPIC verb banks are keyed by video name'
         return FrameDeviceBank.build(
@@ -256,3 +318,21 @@ def epic_verb_window(center_idx: jax.Array, *, window_size: int,
     half_len = (window_size * fps) // 2
     c = center_idx.astype(jnp.int32)
     return c - half_len, c + half_len
+
+
+def epic_noun_window(center_idx: jax.Array, *, window_size: int,
+                     max_per_frame: int, frames_per_second: int,
+                     fps: int) -> Tuple[jax.Array, jax.Array]:
+    """[lower, upper] frame window for EPIC nouns (reference
+    ``epic.py:344-347``): ``secs = W / (max_per_frame * frames_per_second)``,
+    ``lower = int(c - secs/2 * fps)``, ``upper = int(lower + secs * fps)``.
+
+    Python ``int()`` truncates toward zero; computed here as exact rational
+    arithmetic with ``lax.div`` (C-style truncating integer division).
+    """
+    c = center_idx.astype(jnp.int32)
+    num = window_size * fps                  # secs * fps == num / den
+    den = max_per_frame * frames_per_second
+    lower = jax.lax.div(c * (2 * den) - num, 2 * den)
+    upper = jax.lax.div(lower * den + num, den)
+    return lower, upper

@@ -131,7 +131,8 @@ def get_lfb(cfg, params_file: str, is_train: bool, *, mesh=None,
                         num_workers=cfg.DATALOADER.NUM_WORKERS,
                         prefetch=cfg.DATALOADER.PREFETCH_BATCHES,
                         seed=cfg.RNG_SEED, is_train=False)
-    step = make_eval_step(spec, mesh)
+    step = make_eval_step(spec, mesh,
+                          use_shard_map=bool(cfg.TPU.SHARD_MAP))
 
     features, metadata, masks = [], [], []
     total = loader.num_batches()

@@ -262,10 +262,16 @@ def default_config() -> Config:
     # (91ms vs 77ms plain conv at B=16); kept for further tuning.
     c.TPU.PALLAS_STEM = False
     c.TPU.REMAT = 'stage'              # '', 'stage', or 'block' rematerialization
+    # Run the per-iteration forward/backward as an explicit shard_map body
+    # instead of auto-sharded jit.  Numerically identical (loss sums/counts
+    # psum into the exact global mean) and lets the fused Pallas kernels run
+    # on multi-chip meshes.  Train path requires MODEL.USE_AFFINE.
+    c.TPU.SHARD_MAP = False
     c.TPU.MESH_SHAPE = []              # e.g. [8] -> data mesh; [] -> all devices
     # Keep the LFB in HBM and gather windows on device instead of shipping
     # per-example windows through the input pipeline (parity-identical for
-    # AVA/Charades/EPIC-verb; EPIC-noun always uses the host path).
+    # all datasets; EPIC-noun banks flatten ragged per-frame detector
+    # features into repeated frame ids at build time).
     c.TPU.DEVICE_BANK = False
     # Fixed-shape padding cap for AVA boxes (XLA needs static shapes; the
     # reference ships ragged per-box rows instead).  Keyframes with more

@@ -21,7 +21,8 @@ from typing import Dict
 
 import jax
 
-from lfb_tpu.models.layers import (Params, apply_norm, init_conv, init_norm)
+from lfb_tpu.models.layers import (Params, apply_norm, init_conv,
+                                   init_norm, pallas_ok)
 from lfb_tpu.models.spec import STAGE_DIMS, ModelSpec
 from lfb_tpu.ops.attention import scaled_softmax_attention
 from lfb_tpu.ops.conv3d import conv1_space_to_depth, conv1x1, conv3d
@@ -259,7 +260,7 @@ def _spacetime_nonlocal(spec: ModelSpec, params: Params, prefix: str,
         q, k, v,
         scale=dim_inner ** -0.5 if (nl.use_softmax and nl.use_scale) else None,
         use_softmax=nl.use_softmax,
-        use_pallas=spec.use_pallas if nl.use_softmax else False)
+        use_pallas=pallas_ok(spec) if nl.use_softmax else False)
     t = att.reshape(B, T, H, W, dim_inner)
 
     out = conv1x1(t, params[prefix + '_out_w'], bias('_out'))

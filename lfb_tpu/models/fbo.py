@@ -18,7 +18,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from lfb_tpu.models.layers import Params, dropout, init_conv, layer_norm
+from lfb_tpu.models.layers import (Params, dropout, init_conv,
+                                   layer_norm, pallas_ok)
 from lfb_tpu.models.spec import ModelSpec
 from lfb_tpu.ops.attention import scaled_softmax_attention
 from lfb_tpu.ops.conv3d import conv1x1
@@ -131,7 +132,7 @@ def _nl_core(spec: ModelSpec, params: Params, prefix: str, a: jax.Array,
     t = scaled_softmax_attention(
         theta, phi, g,
         scale=f.latent_dim ** -0.5 if f.scale else None,
-        use_pallas=spec.use_pallas)[:, 0, :]          # (N, L)
+        use_pallas=pallas_ok(spec))[:, 0, :]          # (N, L)
 
     if f.pre_act:
         if f.pre_act_ln:

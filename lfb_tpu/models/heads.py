@@ -38,12 +38,11 @@ def roi_head(spec: ModelSpec, features: jax.Array,
     """
     fmap = jnp.mean(features.astype(jnp.float32), axis=1)   # (B, H, W, C)
     res = spec.roi_resolution
-    # The Pallas kernel's scalar-prefetch fmap indexing does not partition
-    # under multi-device auto-sharding, and it defines no VJP; use it for
-    # single-chip inference programs only (training differentiates through
-    # the XLA path).
-    if (spec.use_pallas and not train and _on_tpu()
-            and jax.device_count() == 1):
+    # The Pallas kernel defines no VJP: inference only (training
+    # differentiates through the XLA path); pallas_ok handles the
+    # backend/mesh gating.
+    from lfb_tpu.models.layers import pallas_ok
+    if pallas_ok(spec) and not train:
         from lfb_tpu.ops.pallas_roi_align import roi_align_maxpool
         out = roi_align_maxpool(fmap, proposals, pooled=res,
                                 spatial_scale=spec.roi_spatial_scale)

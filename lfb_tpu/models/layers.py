@@ -25,6 +25,20 @@ from lfb_tpu.ops.affine import affine_nd
 Params = Dict[str, jax.Array]
 
 
+def pallas_ok(spec) -> bool:
+    """Fused Pallas kernels run on TPU backends, either in single-device
+    programs or per-device shard_map bodies (pallas_call does not partition
+    under multi-device auto-sharded jit)."""
+    if not spec.use_pallas:
+        return False
+    try:
+        if jax.default_backend() != 'tpu':
+            return False
+    except Exception:  # pragma: no cover
+        return False
+    return spec.single_device_program or jax.device_count() == 1
+
+
 def msra_init(key, shape) -> jax.Array:
     """He-normal on fan_in, matching Caffe2 MSRAFill as used for all backbone
     convs (reference ``model_builder_video.py:184``)."""

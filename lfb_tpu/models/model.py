@@ -128,6 +128,28 @@ def forward(
     return out
 
 
+def loss_parts(spec: ModelSpec, logits: jax.Array, labels: jax.Array,
+               box_mask: Optional[jax.Array]):
+    """(numerator_sum, denominator_count) of the classification loss, so a
+    shard_map body can psum both parts for an exact global mean."""
+    logits = logits.astype(jnp.float32)
+    if spec.multi_label:
+        labels = labels.astype(jnp.float32)
+        per_elem = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(
+            jnp.exp(-jnp.abs(logits)))
+        if box_mask is not None:
+            w = box_mask.astype(jnp.float32)[:, None]
+            per_elem = per_elem * w
+            denom = jnp.sum(w) * logits.shape[-1]
+        else:
+            denom = jnp.asarray(per_elem.size, jnp.float32)
+        return jnp.sum(per_elem), denom
+    log_p = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(log_p, labels[:, None].astype(jnp.int32),
+                               axis=-1)[:, 0]
+    return jnp.sum(nll), jnp.asarray(nll.shape[0], jnp.float32)
+
+
 def _loss(spec: ModelSpec, logits: jax.Array, labels: jax.Array,
           box_mask: Optional[jax.Array]) -> jax.Array:
     """Classification loss.
@@ -139,19 +161,5 @@ def _loss(spec: ModelSpec, logits: jax.Array, labels: jax.Array,
     (``resnet_video.py:333-341``); under global-batch-mean data parallelism
     that factor is already implicit, so no extra scale is applied here.
     """
-    logits = logits.astype(jnp.float32)
-    if spec.multi_label:
-        labels = labels.astype(jnp.float32)
-        per_elem = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(
-            jnp.exp(-jnp.abs(logits)))
-        if box_mask is not None:
-            w = box_mask.astype(jnp.float32)[:, None]
-            per_elem = per_elem * w
-            denom = jnp.maximum(jnp.sum(w) * logits.shape[-1], 1.0)
-        else:
-            denom = jnp.asarray(per_elem.size, jnp.float32)
-        return jnp.sum(per_elem) / denom
-    log_p = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(log_p, labels[:, None].astype(jnp.int32),
-                               axis=-1)[:, 0]
-    return jnp.mean(nll)
+    num, den = loss_parts(spec, logits, labels, box_mask)
+    return num / jnp.maximum(den, 1.0)

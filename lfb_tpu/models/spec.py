@@ -118,6 +118,9 @@ class ModelSpec:
     use_pallas: bool = True
     use_conv1_s2d: bool = False
     use_pallas_stem: bool = False
+    # True when the surrounding program is per-device (under
+    # shard_map), where Pallas kernels are safe on any mesh size.
+    single_device_program: bool = False
     remat: str = 'stage'
 
     @property

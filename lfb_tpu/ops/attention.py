@@ -46,10 +46,11 @@ def scaled_softmax_attention(
         NONLOCAL.USE_SOFTMAX=False path -- mean aggregation: p = affinity / Nk
         (``lib/models/nonlocal_helper.py:107-117``).
     """
-    # A caller-passed flag expresses intent; backend availability (TPU,
-    # single device) always gates the fused path.
+    # A caller-passed flag expresses intent (the model layer owns the
+    # mesh/shard_map gating); the backend gate always applies.  The default
+    # (None) additionally requires a single-device program.
     if use_pallas is None:
-        use_pallas = True
+        use_pallas = jax.device_count() == 1
     if use_pallas and _pallas_available() and use_softmax and mask is None:
         from lfb_tpu.ops.pallas_attention import fused_attention
         out = fused_attention(q, k, v, scale=scale)
@@ -82,10 +83,10 @@ def _attention_xla(q, k, v, *, scale, mask, use_softmax):
 
 @functools.lru_cache(maxsize=1)
 def _pallas_available() -> bool:
-    # Single-chip TPU programs only: pallas_call does not partition under
-    # multi-device auto-sharding (multi-chip runs keep the XLA path; a
-    # shard_map-wrapped variant is the future-work path to fuse there too).
+    """Backend gate only; callers own the mesh gate (see
+    lfb_tpu.models.layers.pallas_ok): pallas_call does not partition under
+    multi-device auto-sharded jit but is safe inside shard_map bodies."""
     try:
-        return jax.default_backend() == 'tpu' and jax.device_count() == 1
+        return jax.default_backend() == 'tpu'
     except Exception:
         return False

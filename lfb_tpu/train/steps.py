@@ -48,19 +48,99 @@ def _inject_device_bank_lfb(spec: ModelSpec, bank, batch, rng):
     return batch
 
 
-def make_train_step(spec: ModelSpec, solver, mesh=None, bank=None):
+def _localize_proposals(batch):
+    """Inside a shard_map body the batch is the per-device shard but AVA
+    proposal rows carry GLOBAL clip indices; shift them to shard-local."""
+    if 'proposals' not in batch:
+        return batch
+    local_b = batch['data'].shape[0]
+    offset = jax.lax.axis_index('data') * local_b
+    batch = dict(batch)
+    proposals = batch['proposals']
+    batch['proposals'] = proposals.at[:, 0].add(
+        -offset.astype(proposals.dtype))
+    return batch
+
+
+def make_train_step(spec: ModelSpec, solver, mesh=None, bank=None,
+                    use_shard_map: bool = False):
     """Build the jitted train step.
 
     Signature of the returned fn:
       (trainable, frozen, mstate, batch, rng, lr) ->
           (trainable, frozen, mstate, aux)
     where aux carries 'loss' and 'prob' for host-side metrics.
+
+    With ``use_shard_map`` the forward/backward runs as a per-device
+    shard_map body (numerically equal: loss sums/counts are psum'd into the
+    exact global mean), which lets the fused Pallas kernels run on
+    multi-chip meshes.  Requires affine mode (no BN side statistics) and a
+    mesh.
     """
     momentum = float(solver.MOMENTUM)
     nesterov = bool(solver.NESTEROV)
     wd = float(solver.WEIGHT_DECAY)
     wd_bn = float(solver.WEIGHT_DECAY_BN)
     bn_momentum = float(spec.bn_momentum)
+
+    if use_shard_map and mesh is not None:
+        assert spec.use_affine, 'shard_map step requires frozen-affine mode'
+        import dataclasses
+        from jax import shard_map
+        spec_local = dataclasses.replace(spec, single_device_program=True)
+        from lfb_tpu.models.model import loss_parts
+
+        def step(trainable, frozen, mstate, batch, rng, lr):
+            def shard_body(trainable, frozen, batch, rng):
+                rng = jax.random.fold_in(rng, jax.lax.axis_index('data'))
+                bank_rng, rng = jax.random.split(rng)
+                batch2 = _localize_proposals(batch)
+                batch2 = _inject_device_bank_lfb(spec_local, bank, batch2,
+                                                 bank_rng)
+
+                # Differentiate the LOCAL loss numerator only; all
+                # collectives stay outside the grad so no psum transpose
+                # enters the backward (with check_vma=False psum transposes
+                # to psum, which would scale grads by the axis size).
+                def local_num(trainable):
+                    params = {**trainable, **frozen}
+                    out = forward(spec_local, params, batch2, train=True,
+                                  rng=rng)
+                    num, den = loss_parts(
+                        spec_local, out['logits'], batch2['labels'],
+                        batch2.get('box_mask'))
+                    return num, (den, out['prob'])
+
+                (num, (den, prob)), gnum = jax.value_and_grad(
+                    local_num, has_aux=True)(trainable)
+                den_global = jnp.maximum(jax.lax.psum(den, 'data'), 1.0)
+                loss = jax.lax.psum(num, 'data') / den_global
+                # d(loss)/dp = sum_shards d(num_local)/dp / den_global.
+                grads = jax.lax.psum(
+                    jax.tree.map(lambda g: g / den_global, gnum), 'data')
+                return grads, loss, prob
+
+            repl_spec = P()
+            grads, loss, prob = shard_map(
+                shard_body, mesh=mesh,
+                in_specs=(repl_spec, repl_spec, P('data'), repl_spec),
+                out_specs=(repl_spec, repl_spec, P('data')),
+                check_vma=False,
+            )(trainable, frozen, batch, rng)
+            new_trainable, new_mstate = opt.apply_updates(
+                trainable, grads, mstate, lr=lr, momentum=momentum,
+                nesterov=nesterov, weight_decay=wd, weight_decay_bn=wd_bn)
+            return new_trainable, frozen, new_mstate, {'loss': loss,
+                                                       'prob': prob}
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P('data'))
+        return jax.jit(
+            step,
+            in_shardings=(repl, repl, repl, data, repl, repl),
+            out_shardings=(repl, repl, repl, {'loss': repl, 'prob': data}),
+            donate_argnums=(0, 1, 2),
+        )
 
     def step(trainable, frozen, mstate, batch, rng, lr):
         bank_rng, rng = jax.random.split(rng)
@@ -106,13 +186,11 @@ def make_train_step(spec: ModelSpec, solver, mesh=None, bank=None):
 
 
 def make_eval_step(spec: ModelSpec, mesh=None, with_loss: bool = False,
-                   bank=None, bank_seed: int = 0):
+                   bank=None, bank_seed: int = 0,
+                   use_shard_map: bool = False):
     """Build the jitted eval/LFB-extraction step: params, batch -> outputs."""
 
-    def step(params, batch):
-        batch = _inject_device_bank_lfb(
-            spec, bank, batch, jax.random.PRNGKey(bank_seed))
-        out = forward(spec, params, batch, train=False, rng=None)
+    def _outputs(out):
         keep = {}
         for key in ('prob', 'logits', 'pool5', 'box_pooled'):
             if key in out:
@@ -120,6 +198,50 @@ def make_eval_step(spec: ModelSpec, mesh=None, with_loss: bool = False,
         if with_loss and 'loss' in out:
             keep['loss'] = out['loss']
         return keep
+
+    if use_shard_map and mesh is not None:
+        import dataclasses
+        from jax import shard_map
+        from lfb_tpu.models.model import loss_parts
+        spec_local = dataclasses.replace(spec, single_device_program=True)
+
+        def step(params, batch):
+            def shard_body(params, batch):
+                batch2 = _localize_proposals(batch)
+                batch2 = _inject_device_bank_lfb(
+                    spec_local, bank, batch2, jax.random.PRNGKey(bank_seed))
+                out = forward(spec_local, params, batch2, train=False,
+                              rng=None)
+                keep = _outputs({k: v for k, v in out.items()
+                                 if k != 'loss'})
+                if with_loss and 'labels' in batch2:
+                    # Emit per-shard loss parts; the global mean is formed
+                    # outside the shard_map (num.sum() / den.sum()).
+                    num, den = loss_parts(
+                        spec_local, out['logits'], batch2['labels'],
+                        batch2.get('box_mask'))
+                    keep['loss_num'] = jnp.reshape(num, (1,))
+                    keep['loss_den'] = jnp.reshape(den, (1,))
+                return keep
+
+            out = shard_map(shard_body, mesh=mesh,
+                            in_specs=(P(), P('data')),
+                            out_specs=P('data'), check_vma=False,
+                            )(params, batch)
+            if 'loss_num' in out:
+                out['loss'] = (out.pop('loss_num').sum()
+                               / jnp.maximum(out.pop('loss_den').sum(), 1.0))
+            return out
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P('data'))
+        return jax.jit(step, in_shardings=(repl, data))
+
+    def step(params, batch):
+        batch = _inject_device_bank_lfb(
+            spec, bank, batch, jax.random.PRNGKey(bank_seed))
+        out = forward(spec, params, batch, train=False, rng=None)
+        return _outputs(out)
 
     if mesh is None:
         return jax.jit(step)

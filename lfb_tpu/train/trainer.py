@@ -114,10 +114,13 @@ class Trainer:
         test_bank = getattr(self.test_db, 'lfb', None)
         if not hasattr(test_bank, 'gather'):
             test_bank = None
+        use_sm = bool(cfg.TPU.SHARD_MAP)
         self.train_step = make_train_step(self.spec, cfg.SOLVER, self.mesh,
-                                          bank=train_bank)
+                                          bank=train_bank,
+                                          use_shard_map=use_sm)
         self.eval_step = make_eval_step(self.test_spec, self.mesh,
-                                        bank=test_bank, bank_seed=cfg.RNG_SEED)
+                                        bank=test_bank, bank_seed=cfg.RNG_SEED,
+                                        use_shard_map=use_sm)
 
         # Meters.
         self.train_meter = MetricsCalculator(

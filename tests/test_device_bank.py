@@ -142,3 +142,57 @@ def test_charades_device_bank_end_to_end_matches_host(tmp_path):
     np.testing.assert_allclose(np.asarray(out_dev['logits']),
                                np.asarray(out_host['logits']),
                                rtol=1e-5, atol=1e-5)
+
+def test_frame_device_bank_matches_host_epic_noun():
+    """Noun banks: several detector feats per frame, per-frame cap, early-exit
+    fill; flattened device gather must match the host sampler exactly."""
+    from lfb_tpu.bank.device_bank import epic_noun_window
+    from lfb_tpu.data.epic import sample_noun_lfb
+
+    dim, W, mpf, nfs, fps = 8, 5, 2, 1, 30
+    rng = np.random.RandomState(2)
+    # Ragged: frames with 1..4 feats, one empty-list frame, sparse spacing.
+    bank = {0: {10: rng.randn(3, dim).astype(np.float32),
+                40: rng.randn(1, dim).astype(np.float32),
+                70: [],
+                75: rng.randn(4, dim).astype(np.float32),
+                200: rng.randn(2, dim).astype(np.float32)},
+            1: {0: rng.randn(2, dim).astype(np.float32)}}
+    dev = FrameDeviceBank.build_noun(bank, window_size=W, max_per_frame=mpf,
+                                     frames_per_second=nfs, fps=fps,
+                                     lfb_dim=dim)
+    for video, center in [(0, 50), (0, 10), (0, 75), (0, 1000), (1, 0),
+                          (1, -5), (0, 201)]:
+        host = sample_noun_lfb(bank[video], center, window_size=W,
+                               max_per_frame=mpf, frames_per_second=nfs,
+                               fps=fps, lfb_dim=dim)
+        out = np.asarray(dev.gather_centers(jnp.array([video]),
+                                            jnp.array([center])))[0]
+        np.testing.assert_allclose(out, host, rtol=1e-6,
+                                   err_msg=str((video, center)))
+    # Window arithmetic == Python int() truncation, incl. negative lowers.
+    for center in (-7, -1, 0, 3, 50):
+        secs = float(W) / (mpf * nfs)
+        lo_py = int(center - (secs / 2) * fps)
+        hi_py = int(lo_py + secs * fps)
+        lo, hi = epic_noun_window(jnp.array([center]), window_size=W,
+                                  max_per_frame=mpf, frames_per_second=nfs,
+                                  fps=fps)
+        assert (int(lo[0]), int(hi[0])) == (lo_py, hi_py), center
+
+
+def test_build_device_bank_epic_noun_route():
+    from lfb_tpu.core import config as C
+    from lfb_tpu.bank.device_bank import build_device_bank
+    cfg = C.default_config()
+    cfg.DATASET = 'epic'
+    cfg.EPIC.CLASS_TYPE = 'noun'
+    cfg.LFB.WINDOW_SIZE = 4
+    cfg.LFB.LFB_DIM = 8
+    cfg = C.finalize(cfg)
+    rng = np.random.RandomState(0)
+    bank = {0: {5: rng.randn(2, 8).astype(np.float32)}}
+    dev = build_device_bank(cfg, bank)
+    assert dev is not None and dev.window_mode == 'epic_noun'
+    out = dev.gather_centers(jnp.array([0]), jnp.array([5]))
+    assert out.shape == (1, 4, 8)

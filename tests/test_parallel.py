@@ -114,3 +114,66 @@ def test_eval_step_sharded(eight_devices):
     })
     out = make_eval_step(spec, mesh)(params, batch)
     assert out['pool5'].shape == (8, 2048)
+
+
+def test_shard_map_step_matches_auto_sharded(eight_devices):
+    """shard_map-wrapped train step == auto-sharded mesh step (same params,
+    batch; dropouts off so RNG streams don't diverge)."""
+    cfg = small_cfg()
+    cfg.FBO_NL.INPUT_DROPOUT_ON = False
+    cfg.FBO_NL.LFB_DROPOUT_ON = False
+    spec = build_spec(cfg, 'train')
+    mesh = create_mesh(8)
+
+    rng = np.random.RandomState(5)
+    batch_np = {
+        'data': 0.1 * rng.randn(8, 8, 32, 32, 3).astype(np.float32),
+        'labels': (rng.rand(8, 6) > 0.5).astype(np.float32),
+        'lfb': rng.randn(8, 4, 2048).astype(np.float32),
+    }
+
+    def run(use_shard_map):
+        params = init_params(jax.random.PRNGKey(0), spec)
+        trainable, frozen = split_params(spec, params)
+        mstate = opt.init_state(params, frozen_param_names(spec, params))
+        step = make_train_step(spec, cfg.SOLVER, mesh,
+                               use_shard_map=use_shard_map)
+        t, f, m, aux = step(trainable, frozen, mstate,
+                            shard_batch(mesh, batch_np),
+                            jax.random.PRNGKey(7), jnp.float32(1e-5))
+        return float(aux['loss']), np.asarray(aux['prob']), \
+            np.asarray(t['pred_w'])
+
+    loss_a, prob_a, w_a = run(False)
+    loss_s, prob_s, w_s = run(True)
+    np.testing.assert_allclose(loss_s, loss_a, rtol=1e-5)
+    np.testing.assert_allclose(prob_s, prob_a, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(w_s, w_a, rtol=1e-4, atol=1e-7)
+
+
+def test_shard_map_eval_ava_localizes_proposals(eight_devices):
+    """AVA proposals carry global clip indices; the shard_map eval body must
+    shift them to shard-local so RoI pooling reads the right clips."""
+    cfg = small_cfg()
+    cfg.DATASET = 'ava'
+    cfg.LFB.ENABLED = False
+    spec = build_spec(cfg, 'val')
+    mesh = create_mesh(8)
+    rng = np.random.RandomState(0)
+    B, bpc = 8, 2
+    n = B * bpc
+    batch = {
+        'data': 0.1 * rng.randn(B, 8, 32, 32, 3).astype(np.float32),
+        'labels': (rng.rand(n, 6) > 0.5).astype(np.float32),
+        'proposals': np.stack(
+            [np.repeat(np.arange(B), bpc)]
+            + [rng.uniform(0, 32, n) for _ in range(4)], 1).astype(np.float32),
+        'box_mask': np.ones(n, np.float32),
+    }
+    params = init_params(jax.random.PRNGKey(0), spec)
+    out_auto = make_eval_step(spec, mesh)(params, shard_batch(mesh, batch))
+    out_sm = make_eval_step(spec, mesh, use_shard_map=True)(
+        params, shard_batch(mesh, batch))
+    np.testing.assert_allclose(np.asarray(out_sm['logits']),
+                               np.asarray(out_auto['logits']),
+                               rtol=1e-4, atol=1e-5)

@@ -66,7 +66,8 @@ def test_one_crop(cfg, lfb=None, shift=None, output_dir='.'):
         total_num_boxes=getattr(db, 'num_boxes_used', None),
         num_test_clips=(db.num_test_clips if cfg.DATASET == 'charades' else 1),
         full_eval=True, output_dir=output_dir)
-    step = make_eval_step(spec, mesh)
+    step = make_eval_step(spec, mesh,
+                          use_shard_map=bool(cfg.TPU.SHARD_MAP))
 
     total = loader.num_batches()
     for i, batch in enumerate(loader.batches()):
