@@ -114,7 +114,8 @@ def backbone_forward(spec: ModelSpec, params: Params, x: jax.Array, *,
 
     B, T, H, W, _ = x.shape
     h = None
-    if (spec.use_pallas_stem and not train and temp_strides[0][0] == 1):
+    if (pallas_ok(spec, spec.use_pallas_stem) and not train
+            and temp_strides[0][0] == 1):
         from lfb_tpu.ops.pallas_stem import stem_conv_s2d
         h = stem_conv_s2d(x, params['conv1_w'],
                           temporal_pad=use_temp[0][0])

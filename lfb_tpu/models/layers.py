@@ -25,11 +25,12 @@ from lfb_tpu.ops.affine import affine_nd
 Params = Dict[str, jax.Array]
 
 
-def pallas_ok(spec) -> bool:
+def pallas_ok(spec, enabled: bool | None = None) -> bool:
     """Fused Pallas kernels run on TPU backends, either in single-device
     programs or per-device shard_map bodies (pallas_call does not partition
-    under multi-device auto-sharded jit)."""
-    if not spec.use_pallas:
+    under multi-device auto-sharded jit).  ``enabled`` overrides the
+    ``spec.use_pallas`` flag for kernels with their own switch (stem)."""
+    if not (spec.use_pallas if enabled is None else enabled):
         return False
     try:
         if jax.default_backend() != 'tpu':

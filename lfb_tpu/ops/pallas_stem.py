@@ -1,24 +1,41 @@
 """Pallas TPU kernel for the stem conv (kT x 7 x 7, stride 1x2x2, Cin=3).
 
-The raw stem conv starves the MXU (Cin=3 -> ~10 TFLOP/s measured on v5e,
-45% of the whole backbone's inference time), and the XLA space-to-depth
-conv reformulation triggers pathologically slow convolution autotuning on
-some backends.  This implementation splits the work:
+The raw stem conv starves the MXU (Cin=3) and XLA's convolution emitter
+materializes an im2col in HBM -- at the measured effective HBM bandwidth
+(~260-380 GB/s on the attached v5e) that makes the stem ~45% of whole-model
+inference.  The XLA space-to-depth conv reformulation avoids some of it but
+triggers pathologically slow convolution autotuning on some backends.
 
-  XLA (pure data movement, deterministic): space-to-depth pack + 4x4
-      spatial-tap unfold -> xr (B, T+2p, hp/RB, RB*wp, 256) where 256 is
-      the 192-channel unfold padded to lane alignment and matmul rows come
-      pre-flattened (in-kernel reshapes / rank-3 dots measured >10x slower).
-  Pallas (grid B x rows x T x kT, temporal tap innermost): one dense
-      (RB*wp, 256) x (256, 64) MXU matmul per tap accumulated into a
-      persistent f32 VMEM scratch, written out on the last tap.  A single
-      xr operand (the tap offset lives in the grid) avoids XLA
-      materializing kT aliased operand copies.
+This kernel keeps the unfold entirely in VMEM:
 
-Batches run through ``lax.map`` in chunks to bound the im2col transient.
+  XLA prep (pure data movement, one fused transpose):
+      space-to-depth pack (2x2 spatial -> 12 channels, zero-padded to 16),
+      spatial halo pad, then layout (B, T+2p, C=16, HP * 128) where the
+      lane dim flattens (h2, w2): lane = h2 * 128 + w2.  In this layout
+      every (dh, h-block) tap slice is a 128-aligned lane slice, and the
+      dw taps become +-1..3 lane shifts.
+
+  Pallas kernel, grid (B, T):
+      DMAs the kT temporal tap slices into VMEM, builds ONE un-shifted
+      A matrix (K = kT*4*C, M = 2048 positions) per 16-row block with
+      plain aligned sublane-block copies, then a single MXU dot
+      A^T(K,M) x W(K, 4*64) computes all 4 dw taps at once; the dw
+      results are combined with masked 32-bit rolls of the f32
+      accumulator (out[m] = sum_dw O_dw[m + dw - 2]; values dragged
+      across a 128-lane row boundary are masked to zero -- they
+      correspond to the conv's zero padding, so rows need no w halo and
+      crop 256 (wp = 128) packs the lanes exactly).
+
+      The (M, dw*64+o) output orientation lands channels-last, so the
+      XLA post-processing is a pure reshape + pad-column slice -- no
+      940 MB transpose.
+
+Measured (v5e, marginal per frame at large grid): ~32 us vs ~150 us for
+the plain XLA conv path; whole-stem ~16 ms vs 75-77 ms at B=16, T=32.
 
 Numerically identical to the direct conv up to bf16 rounding.  Inference
 path only (no VJP); training differentiates through the plain conv.
+Reference: stem at ``lib/models/resnet_video.py`` (conv1 7x7x{5,3}).
 """
 
 from __future__ import annotations
@@ -35,130 +52,129 @@ try:
 except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
-_ROW_BLOCK = 32
-_CK = 256
+_HB = 16          # output rows per block
+_LANES = 128      # padded s2d width (wp + 3 halo <= 128)
+_C = 16           # s2d channels (4 * Cin(3), zero-padded to 16)
+_DH = 4           # s2d kernel taps (7-tap stride-2 -> 4 taps, one zero pad)
+_DW = 4
 
 
-def _stem_kernel(xr_ref, w_ref, out_ref, scratch, sems, *, kt: int,
-                 t_padded: int):
+def _stem_kernel(x_hbm, w_ref, o_ref, xs, a_ref, sem, *, kt: int,
+                 nblk: int):
     b = pl.program_id(0)
-    r = pl.program_id(1)
-    t = pl.program_id(2)
-    ring = kt + 1
+    t = pl.program_id(1)
+    blk = pl.program_id(2)
+    blk_l = _HB * _LANES
 
-    def dma(s, slot):
-        return pltpu.make_async_copy(
-            xr_ref.at[b, s, r], scratch.at[slot], sems.at[slot])
-
-    # Rolling window over the padded T axis: slice s lives in slot s % ring.
-    # One-step lookahead keeps the newest slice's DMA overlapped with the
-    # previous step's matmuls.
-    @pl.when(t == 0)
+    # Fetch the kT temporal tap slices once per output frame (the block
+    # dim iterates fastest; the scratch persists across grid steps).
+    @pl.when(blk == 0)
     def _():
         for s in range(kt):
-            dma(s, s).start()
-        @pl.when(kt < t_padded)
-        def _():
-            dma(kt, kt % ring).start()
+            pltpu.make_async_copy(x_hbm.at[b, t + s], xs.at[s],
+                                  sem.at[s]).start()
         for s in range(kt):
-            dma(s, s).wait()
+            pltpu.make_async_copy(x_hbm.at[b, t + s], xs.at[s],
+                                  sem.at[s]).wait()
 
-    @pl.when(t > 0)
-    def _():
-        s_wait = t + kt - 1
-        dma(s_wait, s_wait % ring).wait()
-        s_next = t + kt
-        @pl.when(s_next < t_padded)
-        def _():
-            dma(s_next, s_next % ring).start()
-
-    # Static slot indices per ring phase: dynamic scratch[slot] reads cost a
-    # full VMEM copy each (measured ~4x kernel slowdown).
-    for phase in range(ring):
-        @pl.when(t % ring == phase)
-        def _(phase=phase):
-            acc = jnp.zeros((scratch.shape[1], 64), jnp.float32)
-            for dt in range(kt):
-                acc = acc + jax.lax.dot_general(
-                    scratch[(phase + dt) % ring], w_ref[dt],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            out_ref[0, 0, 0] = acc.astype(out_ref.dtype)
+    g = 0
+    for s in range(kt):
+        for dh in range(_DH):
+            start = (blk * _HB + dh) * _LANES
+            a_ref[g * _C:(g + 1) * _C, :] = xs[
+                s, :, pl.dslice(start, blk_l)]
+            g += 1
+    # (K, M)^T x (K, 4*64): all dw taps in one MXU pass, channels-last.
+    o4 = jax.lax.dot_general(
+        a_ref[...], w_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (M, 256) f32
+    # Rows carry NO w halo: tap dw contributes at offset delta = dw - 2,
+    # applied as a roll of the position (sublane) axis.  A rolled value is
+    # valid iff w + delta stays inside its own 128-lane row; values dragged
+    # across a row boundary are masked to zero (they correspond to the
+    # conv's zero padding).
+    w_lane = jax.lax.broadcasted_iota(jnp.int32, (blk_l, 1), 0) % _LANES
+    acc = jnp.zeros((blk_l, o4.shape[1] // _DW), jnp.float32)
+    for dw in range(_DW):
+        delta = dw - 2
+        o = o4[:, dw * 64:(dw + 1) * 64]
+        if delta:
+            o = pltpu.roll(o, (blk_l - delta) % blk_l, 0)
+            valid = (w_lane >= -delta) if delta < 0 else (
+                w_lane < _LANES - delta)
+            o = jnp.where(valid, o, 0.0)
+        acc = acc + o
+    o_ref[0, 0, 0] = acc.astype(o_ref.dtype)
 
 
 def stem_conv_s2d(x: jax.Array, w: jax.Array, *, temporal_pad: int,
                   compute_dtype=jnp.bfloat16,
-                  batch_chunk: int = 4) -> jax.Array | None:
+                  batch_chunk: int = 0) -> jax.Array | None:
     """(B,T,H,W,3) x (kT,7,7,3,64) stride (1,2,2) pad (pt,3,3) -> stem conv
     output (B,T,H/2,W/2,64).  Returns None outside the supported envelope
     (caller falls back to the XLA conv)."""
+    del batch_chunk  # kept for call-site compat; no HBM im2col to bound
     if not _HAS_PALLAS:
         return None
     kt, kh, kw, cin, cout = w.shape
     B, T, H, W, C = x.shape
-    if ((kh, kw, cin, cout) != (7, 7, 3, 64) or H % 2 or W % 2
-            or (H // 2) % _ROW_BLOCK or temporal_pad != kt // 2):
-        return None
-    if B > batch_chunk and B % batch_chunk == 0:
-        chunked = x.reshape((B // batch_chunk, batch_chunk) + x.shape[1:])
-        out = jax.lax.map(
-            lambda xc: _stem_conv_impl(xc, w, temporal_pad=temporal_pad,
-                                       compute_dtype=compute_dtype),
-            chunked)
-        return out.reshape((B,) + out.shape[2:])
-    return _stem_conv_impl(x, w, temporal_pad=temporal_pad,
-                           compute_dtype=compute_dtype)
-
-
-def _stem_conv_impl(x, w, *, temporal_pad, compute_dtype):
-    kt, kh, kw, cin, cout = w.shape
-    B, T, H, W, C = x.shape
     hp, wp = H // 2, W // 2
-    unfold = 16 * 4 * cin  # 192
+    if ((kh, kw, cin, cout) != (7, 7, 3, 64) or H % 2 or W % 2
+            or hp % _HB or wp > _LANES or temporal_pad != kt // 2):
+        return None
 
-    # Space-to-depth pack + spatial unfold (XLA: slices + concat only).
+    # --- XLA prep: s2d pack + halo pad + (C, h*128+w) layout, with ONE
+    # transpose (transposes with a 12/16-wide minor dim are relayout-bound;
+    # two of them measured 11 ms at B=16). ---
     xb = x.astype(compute_dtype)
+    hp2 = hp + 3
     xp = xb.reshape(B, T, hp, 2, wp, 2, C)
-    xp = xp.transpose(0, 1, 2, 4, 3, 5, 6).reshape(B, T, hp, wp, 4 * C)
-    xpad = jnp.pad(xp, ((0, 0), (temporal_pad, temporal_pad),
-                        (2, 1), (2, 1), (0, 0)))
-    xr = jnp.concatenate(
-        [xpad[:, :, dh:dh + hp, dw:dw + wp, :]
-         for dh in range(4) for dw in range(4)], axis=-1)
-    # Pad the contraction dim to a 128-lane multiple (192-lane blocks cost a
-    # VMEM relayout on every load) and pre-flatten matmul rows.
-    xr = jnp.pad(xr, ((0, 0),) * 4 + ((0, _CK - unfold),))
-    xr = xr.reshape(B, xr.shape[1], hp // _ROW_BLOCK, _ROW_BLOCK * wp, _CK)
+    # (B, T, hpar, wpar, c, h2, w2); channel packing (hpar, wpar, c).
+    xt = xp.transpose(0, 1, 3, 5, 6, 2, 4).reshape(B, T, 4 * C, hp, wp)
+    # h halo rows for the dh taps; w rows are exactly 128 lanes (no halo --
+    # dw offsets are applied as masked output rolls in the kernel).
+    xt = jnp.pad(xt, ((0, 0), (temporal_pad, temporal_pad),
+                      (0, _C - 4 * C), (2, 1), (0, _LANES - wp)))
+    xt = xt.reshape(B, T + 2 * temporal_pad, _C, hp2 * _LANES)
 
-    # w2[t, (DH,DW,p,q,c), o] = w[t, 2*DH+p-1, 2*DW+q-1, c, o].
+    # --- weights: w4[(kt,dh,c2), dw*64 + o] with the s2d channel packing
+    # c2 = hpar*2*cin + wpar*cin + c and kernel taps zero-padded 7 -> 8
+    # (leading zero), matching xp above. ---
     wpad = jnp.pad(w, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
-    w2 = wpad.reshape(kt, 4, 2, 4, 2, cin, cout)
-    w2 = w2.transpose(0, 1, 3, 2, 4, 5, 6).reshape(kt, unfold, cout)
-    w2 = jnp.pad(w2, ((0, 0), (0, _CK - unfold), (0, 0))).astype(compute_dtype)
+    w2 = wpad.reshape(kt, _DH, 2, _DW, 2, cin, cout)
+    # (kt, dh, hpar, dw, wpar, c, o) -> (kt, dh, (hpar, wpar, c), dw, o)
+    w2 = w2.transpose(0, 1, 2, 4, 5, 3, 6).reshape(kt, _DH, 4 * cin, _DW,
+                                                   cout)
+    w2 = jnp.pad(w2, ((0, 0), (0, 0), (0, _C - 4 * cin), (0, 0), (0, 0)))
+    w4 = w2.reshape(kt * _DH * _C, _DW * cout).astype(compute_dtype)
 
-    rows = _ROW_BLOCK * wp
-    t_padded = T + 2 * temporal_pad
-    # xr laid out (B, T', R, rows, CK) so per-(b, s, r) slices are contiguous.
-    kernel = functools.partial(_stem_kernel, kt=kt, t_padded=t_padded)
+    nblk = hp // _HB
+    K = kt * _DH * _C
+    kernel = functools.partial(_stem_kernel, kt=kt, nblk=nblk)
     out = pl.pallas_call(
         kernel,
-        grid=(B, hp // _ROW_BLOCK, T),
+        grid=(B, T, nblk),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # xr stays in HBM
-            pl.BlockSpec((kt, _CK, cout), lambda b, r, t: (0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),     # xt stays in HBM
+            pl.BlockSpec((K, _DW * cout), lambda b, t, r: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, rows, cout),
-                               lambda b, r, t: (b, t, r, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, 1, _HB * _LANES, cout),
+                               lambda b, t, r: (b, t, r, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(
-            (B, T, hp // _ROW_BLOCK, rows, cout), compute_dtype),
+            (B, T, nblk, _HB * _LANES, cout), compute_dtype),
         scratch_shapes=[
-            pltpu.VMEM((kt + 1, rows, _CK), compute_dtype),
-            pltpu.SemaphoreType.DMA((kt + 1,)),
+            pltpu.VMEM((kt, _C, hp2 * _LANES), compute_dtype),
+            pltpu.VMEM((K, _HB * _LANES), compute_dtype),
+            pltpu.SemaphoreType.DMA((kt,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * T * hp * wp * kt * _CK * cout,
-            bytes_accessed=2 * B * T * hp * wp * (_CK + cout),
+            flops=2 * B * T * hp * _LANES * K * _DW * cout,
+            bytes_accessed=B * T * (kt * _C * hp2 * _LANES
+                                    + hp * _LANES * cout) * 2,
             transcendentals=0,
         ),
-    )(xr, w2)
-    return out.reshape(B, T, hp, wp, cout)
+    )(xt, w4)
+    # (B, T, nblk, HB*128, 64): lanes flatten (h, w) -> reshape + slice the
+    # 128->wp pad columns away; channels already last.
+    out = out.reshape(B, T, hp, _LANES, cout)[:, :, :, :wp, :]
+    return out

@@ -97,15 +97,19 @@ def test_pallas_stem_conv_matches_conv3d(monkeypatch):
                         lambda *a, **k: orig(*a, interpret=True, **k))
 
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(2, 4, 64, 96, 3), jnp.float32)
-    for kt, pad in ((5, 2), (1, 0)):
-        w = jnp.asarray(rng.randn(kt, 7, 7, 3, 64), jnp.float32)
-        ref = conv3d(x, w, strides=(1, 2, 2), padding=(pad, 3, 3))
-        out = pallas_stem.stem_conv_s2d(x, w, temporal_pad=pad,
-                                        compute_dtype=jnp.float32)
-        assert out is not None
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   rtol=1e-4, atol=1e-4, err_msg=str(kt))
+    # (64, 96): pad lanes; (32, 256): wp = 128 fills the lanes exactly and
+    # exercises the masked-roll row-boundary handling at full width.
+    for H, W in ((64, 96), (32, 256)):
+        x = jnp.asarray(rng.randn(2, 4, H, W, 3), jnp.float32)
+        for kt, pad in ((5, 2), (1, 0)):
+            w = jnp.asarray(rng.randn(kt, 7, 7, 3, 64), jnp.float32)
+            ref = conv3d(x, w, strides=(1, 2, 2), padding=(pad, 3, 3))
+            out = pallas_stem.stem_conv_s2d(x, w, temporal_pad=pad,
+                                            compute_dtype=jnp.float32)
+            assert out is not None
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=1e-4, atol=1e-4,
+                                       err_msg=str((H, W, kt)))
 
     # unsupported envelope -> None
     assert pallas_stem.stem_conv_s2d(
