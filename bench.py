@@ -37,6 +37,42 @@ REFERENCE_CLIPS_PER_SEC_PER_GPU = 8.0
 BENCH_TIMEOUT_S = int(os.environ.get('LFB_BENCH_TIMEOUT_S', '540'))
 
 
+# Substrings identifying transient tunnel/backend failures worth retrying
+# (the axon TPU tunnel drops connections and the remote compile service has
+# nondeterministic outages -- see BENCH_r01: a device_put FailedPrecondition).
+_TRANSIENT_MARKERS = (
+    'failed_precondition', 'failed precondition', 'unavailable',
+    'deadline', 'connection', 'socket', 'reset by peer', 'broken pipe',
+    'internal: ', 'aborted', 'transport', 'http', 'stream removed',
+)
+
+
+def _is_transient(exc) -> bool:
+    msg = '{}: {}'.format(type(exc).__name__, exc).lower()
+    if 'out of memory' in msg or 'resource_exhausted' in msg:
+        return False
+    return any(m in msg for m in _TRANSIENT_MARKERS)
+
+
+def run_with_retries(fn, attempts=3, backoff_s=20):
+    """Run ``fn()`` retrying transient tunnel/backend failures.
+
+    Each retry re-invokes ``fn`` from scratch, so device arrays and compiled
+    executables are rebuilt against a fresh backend connection.
+    """
+    for attempt in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 - classify then re-raise
+            if attempt + 1 >= attempts or not _is_transient(e):
+                raise
+            print('# transient backend error (attempt {}/{}): {}; retrying '
+                  'in {}s'.format(attempt + 1, attempts, e, backoff_s),
+                  file=sys.stderr)
+            signal.alarm(BENCH_TIMEOUT_S)  # reset watchdog for the retry
+            time.sleep(backoff_s)
+
+
 def _timeout_handler(signum, frame):
     print(json.dumps({
         'metric': 'clips/sec/chip (bank extraction + FBO inference)',
@@ -132,8 +168,9 @@ def main():
     signal.signal(signal.SIGALRM, _timeout_handler)
     signal.alarm(BENCH_TIMEOUT_S)
     if len(sys.argv) > 1 and sys.argv[1] == 'train':
-        bench_train(int(sys.argv[2]) if len(sys.argv) > 2 else 4,
-                    int(sys.argv[3]) if len(sys.argv) > 3 else 10)
+        run_with_retries(
+            lambda: bench_train(int(sys.argv[2]) if len(sys.argv) > 2 else 4,
+                                int(sys.argv[3]) if len(sys.argv) > 3 else 10))
         return
     import jax
     from lfb_tpu.models import build_spec, forward, init_params
@@ -148,7 +185,9 @@ def main():
     boxes_per_clip = 4
     for batch_clips in candidates:
         try:
-            _run_inference_bench(cfg, batch_clips, iters, boxes_per_clip)
+            run_with_retries(
+                lambda: _run_inference_bench(cfg, batch_clips, iters,
+                                             boxes_per_clip))
             return
         except Exception as e:
             if 'memory' not in str(e).lower() or batch_clips == candidates[-1]:
