@@ -38,11 +38,11 @@ def roi_head(spec: ModelSpec, features: jax.Array,
     """
     fmap = jnp.mean(features.astype(jnp.float32), axis=1)   # (B, H, W, C)
     res = spec.roi_resolution
-    # The Pallas kernel defines no VJP: inference only (training
-    # differentiates through the XLA path); pallas_ok handles the
+    # The Pallas kernel carries a custom VJP (transpose-matmul feature
+    # gradient), so training uses it too; pallas_ok handles the
     # backend/mesh gating.
     from lfb_tpu.models.layers import pallas_ok
-    if pallas_ok(spec) and not train:
+    if pallas_ok(spec):
         from lfb_tpu.ops.pallas_roi_align import roi_align_maxpool
         out = roi_align_maxpool(fmap, proposals, pooled=res,
                                 spatial_scale=spec.roi_spatial_scale)
