@@ -54,21 +54,35 @@ class AvaDeviceBank:
 
     @classmethod
     def build(cls, host_bank: Dict[int, Dict[int, list]], *, window_size: int,
-              k: int, lfb_dim: int = 2048, k_store: int = 32,
+              k: int, lfb_dim: int = 2048, k_store: int = 0,
               dtype=jnp.float32) -> 'AvaDeviceBank':
+        """``k_store`` caps the per-(video, sec) index-table width.  The
+        default 0 auto-sizes it to the largest feature count in the bank, so
+        every feature is stored and :meth:`gather` samples from the full set
+        -- exactly the host/reference semantics (``ava.py:300-323``).  An
+        explicit positive cap bounds table memory; entries over the cap are
+        uniformly subsampled at build time (seeded), which keeps each draw's
+        marginal distribution uniform over all features but fixes the
+        retained subset for the bank's lifetime."""
         num_videos = max(host_bank.keys()) + 1 if host_bank else 0
+        if k_store <= 0:
+            k_store = max([k] + [len(f) for secs in host_bank.values()
+                                 for f in secs.values()])
         rows = []
         table = np.full((num_videos, AVA_NUM_SECS, k_store), -1, np.int32)
         counts = np.zeros((num_videos, AVA_NUM_SECS), np.int32)
         truncated = 0
+        sub_rng = np.random.default_rng(20190607)  # fixed: reproducible banks
         for video, secs in host_bank.items():
             for sec, feats in secs.items():
                 si = sec - AVA_SEC_BASE
                 if not 0 <= si < AVA_NUM_SECS:
                     continue
-                n = min(len(feats), k_store)
                 if len(feats) > k_store:
                     truncated += 1
+                    keep = sub_rng.choice(len(feats), k_store, replace=False)
+                    feats = [feats[i] for i in sorted(keep)]
+                n = len(feats)
                 counts[video, si] = n
                 for j in range(n):
                     table[video, si, j] = len(rows)
@@ -76,9 +90,10 @@ class AvaDeviceBank:
         if truncated:
             import logging
             logging.getLogger(__name__).warning(
-                'AvaDeviceBank: %d (video, sec) entries exceeded k_store=%d; '
-                'sampling draws from the stored prefix only (host path '
-                'samples from all features)', truncated, k_store)
+                'AvaDeviceBank: %d (video, sec) entries exceeded explicit '
+                'k_store=%d and were uniformly subsampled at build time '
+                '(set TPU.BANK_K_STORE: 0 to store all features)',
+                truncated, k_store)
         zero_row = np.zeros((lfb_dim,), np.float32)
         flat = np.stack(rows + [zero_row]) if rows else zero_row[None]
         zero_idx = flat.shape[0] - 1
@@ -276,8 +291,7 @@ def build_device_bank(cfg, host_bank: Dict, video_name_to_idx=None):
         return AvaDeviceBank.build(
             host_bank, window_size=cfg.LFB.WINDOW_SIZE,
             k=cfg.AVA.LFB_MAX_NUM_FEAT_PER_STEP, lfb_dim=cfg.LFB.LFB_DIM,
-            k_store=cfg.TPU['BANK_K_STORE'] if 'BANK_K_STORE' in cfg.TPU
-            else 32)
+            k_store=cfg.TPU.BANK_K_STORE)
     if cfg.DATASET == 'charades':
         return FrameDeviceBank.build(
             host_bank, window_size=cfg.LFB.WINDOW_SIZE,

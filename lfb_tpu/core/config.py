@@ -274,6 +274,12 @@ def default_config() -> Config:
     # all datasets; EPIC-noun banks flatten ragged per-frame detector
     # features into repeated frame ids at build time).
     c.TPU.DEVICE_BANK = False
+    # AVA device-bank index-table width per (video, sec).  0 (default)
+    # auto-sizes to the largest feature count in the bank so window sampling
+    # draws from ALL features, matching the host/reference sampler
+    # (``ava.py:300-323``).  A positive value bounds table memory; overflow
+    # entries are uniformly subsampled once at bank-build time.
+    c.TPU.BANK_K_STORE = 0
     # Fixed-shape padding cap for AVA boxes (XLA needs static shapes; the
     # reference ships ragged per-box rows instead).  Keyframes with more
     # boxes than this are truncated with a warning.

@@ -196,3 +196,49 @@ def test_build_device_bank_epic_noun_route():
     assert dev is not None and dev.window_mode == 'epic_noun'
     out = dev.gather_centers(jnp.array([0]), jnp.array([5]))
     assert out.shape == (1, 4, 8)
+
+
+def test_ava_device_bank_stores_all_feats_by_default():
+    """k_store=0 auto-sizes to the largest per-sec feature count, so gather
+    samples from ALL features like the host sampler (reference
+    ``ava.py:300-323``)."""
+    dim, W, K, n = 4, 1, 3, 12
+    feats = [np.full((dim,), float(i + 1), np.float32) for i in range(n)]
+    bank = {0: {902: list(feats)}}
+    dev = AvaDeviceBank.build(bank, window_size=W, k=K, lfb_dim=dim)
+    assert dev.table.shape[-1] == n
+    assert int(dev.counts[0, 0]) == n
+
+    hits = np.zeros(n + 1)
+    trials = 400
+    for t in range(trials):
+        out = np.asarray(dev.gather(jnp.array([0]), jnp.array([902]),
+                                    jax.random.PRNGKey(t)))[0]
+        ids = out[:, 0].astype(np.int64)          # K distinct tags in 1..n
+        assert len(set(ids.tolist())) == K and ids.min() >= 1
+        np.add.at(hits, ids, 1)
+    # Marginal P(feature drawn) = K/n for every feature, same as the host
+    # sampler; binomial(400, .25) stays within [60, 140] w.h.p.
+    expected = trials * K / n
+    assert hits[1:].min() > expected * 0.6, hits
+    assert hits[1:].max() < expected * 1.4, hits
+
+    host_hits = np.zeros(n + 1)
+    for t in range(trials):
+        out = host_ava_sample(bank[0], 902, window_size=W, k=K, lfb_dim=dim,
+                              rng=np.random.default_rng(t))
+        np.add.at(host_hits, out[:K, 0].astype(np.int64), 1)
+    assert host_hits[1:].min() > expected * 0.6, host_hits
+    assert host_hits[1:].max() < expected * 1.4, host_hits
+
+
+def test_ava_device_bank_explicit_k_store_subsamples_uniformly():
+    dim, W, K, n, ks = 4, 1, 2, 10, 6
+    feats = [np.full((dim,), float(i + 1), np.float32) for i in range(n)]
+    bank = {0: {902: list(feats)}}
+    dev = AvaDeviceBank.build(bank, window_size=W, k=K, lfb_dim=dim,
+                              k_store=ks)
+    assert dev.table.shape[-1] == ks
+    assert int(dev.counts[0, 0]) == ks
+    stored = {int(v) for v in np.asarray(dev.feats)[:-1, 0]}
+    assert len(stored) == ks and stored <= set(range(1, n + 1))
