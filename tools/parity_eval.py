@@ -54,31 +54,17 @@ EXPECTED = {
 }
 
 
-def main():
-    parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument('--config', required=True,
-                        help='config name (e.g. ava_r50_baseline) or path')
-    parser.add_argument('--params', required=True,
-                        help='released model_final.pkl')
-    parser.add_argument('--lfb_params', default='',
-                        help='released lfb_model.pkl (LFB configs)')
-    parser.add_argument('--tolerance', type=float, default=0.5,
-                        help='allowed absolute metric gap (default 0.5)')
-    parser.add_argument('opts', default=None, nargs=argparse.REMAINDER)
-    args = parser.parse_args()
-
-    name = os.path.splitext(os.path.basename(args.config))[0]
-    config_path = (args.config if os.path.isfile(args.config)
-                   else os.path.join(os.path.dirname(__file__), '..',
-                                     'configs', name + '.yaml'))
-
+def run_one(name: str, config_path: str, params: str, lfb_params: str,
+            tolerance: float, opts=None) -> bool:
+    """Evaluate one config against its published number.  True = within
+    tolerance (or no published number)."""
     from lfb_tpu.core.config import load_config
     from test_net import test_net
 
-    overrides = ['TEST.PARAMS_FILE', args.params]
-    if args.lfb_params:
-        overrides += ['LFB.MODEL_PARAMS_FILE', args.lfb_params]
-    cfg = load_config(config_path, overrides + (args.opts or []))
+    overrides = ['TEST.PARAMS_FILE', params]
+    if lfb_params:
+        overrides += ['LFB.MODEL_PARAMS_FILE', lfb_params]
+    cfg = load_config(config_path, overrides + (opts or []))
 
     metrics = test_net(cfg)
     if isinstance(metrics, float):   # AVA multi-crop returns the final mAP
@@ -87,19 +73,82 @@ def main():
     kind, expected = EXPECTED.get(name, (None, None))
     if kind is None:
         logger.info('No published number for %s; metrics: %s', name, metrics)
-        return
+        return True
     if kind == 'top1':
         achieved = 100.0 - metrics['err']
     else:
         achieved = metrics['full_map'] * (100.0 if metrics['full_map'] <= 1.0
                                           else 1.0)
     gap = achieved - expected
-    status = 'OK' if gap >= -args.tolerance else 'BELOW'
+    status = 'OK' if gap >= -tolerance else 'BELOW'
     print('PARITY[{}] {}: achieved {:.2f} vs published {:.2f} ({}{:.2f}) {}'
           .format(status, name, achieved, expected,
                   '+' if gap >= 0 else '', gap,
                   '' if status == 'OK' else '(outside tolerance)'))
-    if status != 'OK':
+    return status == 'OK'
+
+
+def auto_discover(weights_dir: str):
+    """Yield (name, params, lfb_params) for every EXPECTED config whose
+    released weights exist under ``weights_dir/{name}/`` and whose dataset
+    is prepared (config DATADIR present)."""
+    from lfb_tpu.core.config import load_config
+    config_dir = os.path.join(os.path.dirname(__file__), '..', 'configs')
+    for name in sorted(EXPECTED):
+        params = os.path.join(weights_dir, name, 'model_final.pkl')
+        if not os.path.isfile(params):
+            continue
+        cfg = load_config(os.path.join(config_dir, name + '.yaml'))
+        if not os.path.isdir(cfg.DATADIR):
+            logger.info('%s: weights present but DATADIR %s missing; skipped',
+                        name, cfg.DATADIR)
+            continue
+        lfb_params = os.path.join(weights_dir, name, 'lfb_model.pkl')
+        if cfg.LFB.ENABLED and not os.path.isfile(lfb_params):
+            logger.info('%s: LFB config but no lfb_model.pkl; skipped', name)
+            continue
+        yield name, params, (lfb_params if cfg.LFB.ENABLED else '')
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument('--config',
+                        help='config name (e.g. ava_r50_baseline) or path')
+    parser.add_argument('--params',
+                        help='released model_final.pkl')
+    parser.add_argument('--lfb_params', default='',
+                        help='released lfb_model.pkl (LFB configs)')
+    parser.add_argument('--auto', default='',
+                        help='weights root: run every config with '
+                             '{auto}/{name}/model_final.pkl + prepared data')
+    parser.add_argument('--tolerance', type=float, default=0.5,
+                        help='allowed absolute metric gap (default 0.5)')
+    parser.add_argument('opts', default=None, nargs=argparse.REMAINDER)
+    args = parser.parse_args()
+
+    if args.auto:
+        found = list(auto_discover(args.auto))
+        if not found:
+            logger.info('auto mode: no (weights, data) pairs under %s',
+                        args.auto)
+            return
+        config_dir = os.path.join(os.path.dirname(__file__), '..', 'configs')
+        results = [run_one(name, os.path.join(config_dir, name + '.yaml'),
+                           params, lfb, args.tolerance, args.opts)
+                   for name, params, lfb in found]
+        print('PARITY SUMMARY: {}/{} within tolerance'.format(
+            sum(results), len(results)))
+        if not all(results):
+            sys.exit(1)
+        return
+
+    assert args.config and args.params, '--config/--params (or --auto) required'
+    name = os.path.splitext(os.path.basename(args.config))[0]
+    config_path = (args.config if os.path.isfile(args.config)
+                   else os.path.join(os.path.dirname(__file__), '..',
+                                     'configs', name + '.yaml'))
+    if not run_one(name, config_path, args.params, args.lfb_params,
+                   args.tolerance, args.opts):
         sys.exit(1)
 
 
