@@ -98,10 +98,12 @@ def make_train_step(spec: ModelSpec, solver, mesh=None, bank=None,
                 batch2 = _inject_device_bank_lfb(spec_local, bank, batch2,
                                                  bank_rng)
 
-                # Differentiate the LOCAL loss numerator only; all
-                # collectives stay outside the grad so no psum transpose
-                # enters the backward (with check_vma=False psum transposes
-                # to psum, which would scale grads by the axis size).
+                # Differentiate the LOCAL loss numerator.  Params are
+                # device-INVARIANT under shard_map's varying-axes typing,
+                # so AD's transpose inserts the cross-device psum itself:
+                # ``gnum`` is already the global sum of per-shard numerator
+                # grads (valid under full check_vma=True checking; an extra
+                # manual psum would double-count by the axis size).
                 def local_num(trainable):
                     params = {**trainable, **frozen}
                     out = forward(spec_local, params, batch2, train=True,
@@ -116,8 +118,7 @@ def make_train_step(spec: ModelSpec, solver, mesh=None, bank=None,
                 den_global = jnp.maximum(jax.lax.psum(den, 'data'), 1.0)
                 loss = jax.lax.psum(num, 'data') / den_global
                 # d(loss)/dp = sum_shards d(num_local)/dp / den_global.
-                grads = jax.lax.psum(
-                    jax.tree.map(lambda g: g / den_global, gnum), 'data')
+                grads = jax.tree.map(lambda g: g / den_global, gnum)
                 return grads, loss, prob
 
             repl_spec = P()
@@ -125,7 +126,6 @@ def make_train_step(spec: ModelSpec, solver, mesh=None, bank=None,
                 shard_body, mesh=mesh,
                 in_specs=(repl_spec, repl_spec, P('data'), repl_spec),
                 out_specs=(repl_spec, repl_spec, P('data')),
-                check_vma=False,
             )(trainable, frozen, batch, rng)
             new_trainable, new_mstate = opt.apply_updates(
                 trainable, grads, mstate, lr=lr, momentum=momentum,
@@ -226,7 +226,7 @@ def make_eval_step(spec: ModelSpec, mesh=None, with_loss: bool = False,
 
             out = shard_map(shard_body, mesh=mesh,
                             in_specs=(P(), P('data')),
-                            out_specs=P('data'), check_vma=False,
+                            out_specs=P('data'),
                             )(params, batch)
             if 'loss_num' in out:
                 out['loss'] = (out.pop('loss_num').sum()
