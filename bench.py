@@ -164,9 +164,103 @@ def bench_train(batch_clips: int, iters: int):
         'vs_baseline': None}))
 
 
+def _write_bench_frames(root: str, num_frames: int, h: int, w: int) -> str:
+    """Synthetic video-like JPEGs (smooth content + sensor noise, quality 90
+    -- decode cost comparable to real AVA frames).  Returns frame-list dir."""
+    import cv2
+    vdir = os.path.join(root, 'frames', 'BENCH00')
+    done_marker = os.path.join(root, '.done_{}_{}x{}'.format(
+        num_frames, h, w))
+    os.makedirs(vdir, exist_ok=True)
+    if not os.path.isfile(done_marker):
+        rng = np.random.RandomState(0)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        for i in range(num_frames):
+            base = (127 + 60 * np.sin(xx / 40.0 + i * 0.3)
+                    * np.cos(yy / 30.0 - i * 0.2))
+            img = np.stack([base + c * 20 for c in range(3)], -1)
+            img = img + rng.randn(h, w, 3) * 12
+            cv2.imwrite(os.path.join(vdir, 'frame_{:010d}.jpg'.format(i + 1)),
+                        np.clip(img, 0, 255).astype(np.uint8),
+                        [cv2.IMWRITE_JPEG_QUALITY, 90])
+        open(done_marker, 'w').close()
+    list_dir = os.path.join(root, 'frame_lists')
+    os.makedirs(list_dir, exist_ok=True)
+    with open(os.path.join(list_dir, 'train.csv'), 'w') as f:
+        f.write('original_vido_id video_id frame_id path labels\n')
+        for i in range(num_frames):
+            f.write('BENCH00 0 {} BENCH00/frame_{:010d}.jpg ""\n'.format(
+                i, i + 1))
+    return list_dir
+
+
+def bench_data(batch_clips: int, iters: int):
+    """``python bench.py data [B] [iters]``: host input-pipeline throughput.
+
+    Synthetic 256x340 JPEGs on disk -> clip decode (native C++ threads vs
+    cv2) -> full train preprocessing (scale jitter, crop, flip, normalize)
+    -> jax.device_put.  The replaced reference pipeline is
+    ``lib/datasets/dataloader.py:241-318`` (4 threads x 12-process pools).
+    """
+    import jax
+    from lfb_tpu.core.config import default_config, finalize
+    from lfb_tpu.data import native_loader
+    from lfb_tpu.data.loader import DataLoader, get_input_db
+
+    root = '/tmp/lfb_data_bench'
+    t_len, rate = 32, 2
+    list_dir = _write_bench_frames(root, num_frames=t_len * rate * 2,
+                                   h=256, w=340)
+    cfg = default_config()
+    cfg.DATASET = 'charades'
+    cfg.DATADIR = os.path.join(root, 'frames')
+    cfg.CHARADES.FRAME_LIST_DIR = list_dir
+    cfg.MODEL.NUM_CLASSES = 157
+    cfg.TRAIN.VIDEO_LENGTH = t_len
+    cfg.TRAIN.SAMPLE_RATE = rate
+    cfg.TRAIN.CROP_SIZE = 224
+    cfg.TRAIN.BATCH_SIZE = batch_clips
+    cfg.NUM_GPUS = 1
+    cfg = finalize(cfg)
+
+    results = {}
+    for label, use_native in (('native', True), ('cv2', False)):
+        native_loader.set_native_enabled(use_native)
+        if use_native and not native_loader.native_available():
+            results[label] = None
+            continue
+        db = get_input_db(cfg, 'train')
+        loader = DataLoader(db, batch_clips, num_workers=8, prefetch=4,
+                            is_train=True)
+        it = loader.batches(iters + 1)
+        jax.device_put(next(it)['data']).block_until_ready()   # warm
+        t0 = time.perf_counter()
+        for batch in it:
+            jax.device_put(batch['data']).block_until_ready()
+        dt = time.perf_counter() - t0
+        loader.shutdown()
+        results[label] = round(batch_clips * iters / dt, 2)
+    native_loader.set_native_enabled(True)
+
+    value = results.get('native') or results.get('cv2') or 0.0
+    print(json.dumps({
+        'metric': 'data clips/sec (JPEG decode + train preprocess + '
+                  'device_put, 32f@256x340->224, {} vCPU)'.format(
+                      os.cpu_count()),
+        'value': value, 'unit': 'clips/sec',
+        'vs_baseline': None,
+        'native_clips_per_sec': results.get('native'),
+        'cv2_clips_per_sec': results.get('cv2'),
+    }))
+
+
 def main():
     signal.signal(signal.SIGALRM, _timeout_handler)
     signal.alarm(BENCH_TIMEOUT_S)
+    if len(sys.argv) > 1 and sys.argv[1] == 'data':
+        bench_data(int(sys.argv[2]) if len(sys.argv) > 2 else 8,
+                   int(sys.argv[3]) if len(sys.argv) > 3 else 10)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == 'train':
         run_with_retries(
             lambda: bench_train(int(sys.argv[2]) if len(sys.argv) > 2 else 4,

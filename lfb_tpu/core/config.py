@@ -274,6 +274,11 @@ def default_config() -> Config:
     # all datasets; EPIC-noun banks flatten ragged per-frame detector
     # features into repeated frame ids at build time).
     c.TPU.DEVICE_BANK = False
+    # Ship raw uint8 crops from the host and normalize ((x/255-mean)/std +
+    # BGR->RGB constant reorder) inside the jitted step: 4x less
+    # host->device traffic and no host float math.  Automatically falls
+    # back to the float host path when color augmentation is enabled.
+    c.TPU.DEVICE_NORMALIZE = True
     # AVA device-bank index-table width per (video, sec).  0 (default)
     # auto-sizes to the largest feature count in the bank so window sampling
     # draws from ALL features, matching the host/reference sampler

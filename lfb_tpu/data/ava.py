@@ -193,7 +193,10 @@ class AvaDataset:
         S = self.crop_size
         shift = CENTER_CROP_INDEX if self.shift is None else self.shift
 
-        data = np.zeros((B, self.video_length, S, S, 3), np.float32)
+        out_u8 = cfg.TPU.DEVICE_NORMALIZE and not (
+            self.is_train_aug and cfg.TRAIN.USE_COLOR_AUGMENTATION)
+        data = np.zeros((B, self.video_length, S, S, 3),
+                        np.uint8 if out_u8 else np.float32)
         n_max = B * max_boxes
         labels = np.zeros((n_max, cfg.MODEL.NUM_CLASSES), np.float32)
         proposals = np.zeros((n_max, 5), np.float32)
@@ -226,7 +229,8 @@ class AvaDataset:
             clip, tboxes = transforms.preprocess_clip(
                 clip, is_train=self.is_train_aug, crop_size=S, cfg=cfg,
                 rng=rng, spatial_shift=shift, boxes=boxes,
-                force_flip=cfg.AVA.FORCE_TEST_FLIP and not self.is_train_aug)
+                force_flip=cfg.AVA.FORCE_TEST_FLIP and not self.is_train_aug,
+                output_uint8=out_u8)
             data[b] = clip
 
             window = None

@@ -141,7 +141,10 @@ class CharadesDataset:
         half_len = self.seq_len // 2
         B = len(indices)
         S = self.crop_size
-        data = np.zeros((B, self.video_length, S, S, 3), np.float32)
+        out_u8 = cfg.TPU.DEVICE_NORMALIZE and not (
+            self.is_train_aug and cfg.TRAIN.USE_COLOR_AUGMENTATION)
+        data = np.zeros((B, self.video_length, S, S, 3),
+                        np.uint8 if out_u8 else np.float32)
         labels = np.zeros((B, cfg.MODEL.NUM_CLASSES), np.float32)
         lfb_rows = (np.zeros((B, cfg.LFB.WINDOW_SIZE, cfg.LFB.LFB_DIM),
                              np.float32)
@@ -178,7 +181,8 @@ class CharadesDataset:
                 clip, is_train=self.is_train_aug, crop_size=S, cfg=cfg,
                 rng=rng,
                 spatial_shift=(shift if shift is not None
-                               else CENTER_CROP_INDEX))
+                               else CENTER_CROP_INDEX),
+                output_uint8=out_u8)
             data[b] = clip
 
             for lbl in aggregate_labels(

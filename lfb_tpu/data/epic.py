@@ -208,7 +208,10 @@ class EpicDataset:
         half_len = self.seq_len // 2
         B = len(indices)
         S = self.crop_size
-        data = np.zeros((B, self.video_length, S, S, 3), np.float32)
+        out_u8 = cfg.TPU.DEVICE_NORMALIZE and not (
+            self.is_train_aug and cfg.TRAIN.USE_COLOR_AUGMENTATION)
+        data = np.zeros((B, self.video_length, S, S, 3),
+                        np.uint8 if out_u8 else np.float32)
         labels = np.zeros((B,), np.int32)
         lfb_rows = (np.zeros((B, cfg.LFB.WINDOW_SIZE, cfg.LFB.LFB_DIM),
                              np.float32)
@@ -233,7 +236,7 @@ class EpicDataset:
                 retry=cfg.IMG_LOAD_RETRY)
             clip, _ = transforms.preprocess_clip(
                 clip, is_train=self.is_train_aug, crop_size=S, cfg=cfg,
-                rng=rng, spatial_shift=shift)
+                rng=rng, spatial_shift=shift, output_uint8=out_u8)
             data[b] = clip
             labels[b] = verb if cfg.EPIC.CLASS_TYPE == 'verb' else noun
             if self.lfb_enabled:

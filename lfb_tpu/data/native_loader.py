@@ -72,6 +72,17 @@ def native_available() -> bool:
     return get_lib() is not None
 
 
+def set_native_enabled(enabled: bool) -> None:
+    """Force-disable (or re-enable) the native decoder, so callers fall back
+    to the cv2 path.  Used by ``bench.py data`` to compare decode paths."""
+    global _lib, _load_failed
+    with _lib_lock:
+        if enabled:
+            _load_failed = False
+        else:
+            _lib, _load_failed = None, True
+
+
 def decode_clip(paths: Sequence[str],
                 num_threads: int = 8) -> Optional[np.ndarray]:
     """Decode JPEG frames -> (T, H, W, 3) BGR uint8, or None on any failure

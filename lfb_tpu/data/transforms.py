@@ -47,7 +47,9 @@ def short_side_scale(clip: np.ndarray, size: int,
     else:
         nw, nh = int(math.floor(float(w) / h * size)), size
     interp = getattr(cv2, interpolation)
-    out = np.empty((t, nh, nw, clip.shape[3]), np.float32)
+    # Resize in the input dtype: the reference resizes the raw uint8 imread
+    # output and only then converts to float (``image_processor.py:189-204``).
+    out = np.empty((t, nh, nw, clip.shape[3]), clip.dtype)
     for i in range(t):
         out[i] = cv2.resize(clip[i], (nw, nh), interpolation=interp)
     return out
@@ -197,14 +199,23 @@ def preprocess_clip(
     spatial_shift: int = 1,
     boxes: Optional[np.ndarray] = None,
     force_flip: bool = False,
+    output_uint8: bool = False,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """(T, H, W, 3) BGR uint8/float frames -> (T, crop, crop, 3) normalized
     RGB float32 (+ transformed pixel boxes).
 
+    Geometry (resize/crop/flip) runs in the input dtype -- uint8 from the
+    decoders, exactly like the reference, which resizes the raw imread
+    output (``image_processor.py:189-204``).  With ``output_uint8`` the
+    float normalization (/255, mean/std) is skipped and the clip returns as
+    channel-reordered uint8 for ON-DEVICE normalization
+    (``TPU.DEVICE_NORMALIZE``): 4x less host->device traffic and no host
+    float math; the per-channel scale/bias fuses into the stem on the TPU.
+    Requires color augmentation off (released configs never enable it).
+
     Boxes arrive normalized to [0, 1] (AVA CSV convention) and leave in crop
     pixel coordinates, clipped.
     """
-    clip = clip.astype(np.float32)
     t, height, width = clip.shape[:3]
 
     if boxes is not None:
@@ -230,7 +241,16 @@ def preprocess_clip(
             clip, boxes = horizontal_flip(None, clip, boxes=boxes, force=True)
         clip, boxes = spatial_shift_crop(clip, crop_size, spatial_shift, boxes)
 
-    clip = np.ascontiguousarray(clip) / 255.0
+    if output_uint8:
+        assert not (is_train and cfg.TRAIN.USE_COLOR_AUGMENTATION), \
+            'color augmentation needs the float path'
+        if not cfg.MODEL.USE_BGR:
+            clip = clip[..., ::-1]  # BGR -> RGB
+        if boxes is not None:
+            boxes = clip_boxes_to_image(boxes, crop_size, crop_size)
+        return np.ascontiguousarray(clip, dtype=np.uint8), boxes
+
+    clip = np.ascontiguousarray(clip, dtype=np.float32) / 255.0
 
     if is_train and cfg.TRAIN.USE_COLOR_AUGMENTATION:
         if not cfg.TRAIN.PCA_JITTER_ONLY:
@@ -265,11 +285,11 @@ def load_frames(paths, retry: int = 10,
             from lfb_tpu.data import native_loader
             clip = native_loader.decode_clip(paths)
             if clip is not None:
-                return clip.astype(np.float32)
+                return clip
         if _HAS_CV2:
             imgs = [cv2.imread(p) for p in paths]
             if all(img is not None for img in imgs):
-                return np.stack(imgs).astype(np.float32)
+                return np.stack(imgs)
         if attempt == retry - 1:
             raise IOError('Failed to load images {}'.format(paths))
         time.sleep(1.0)

@@ -80,7 +80,15 @@ def forward(
     'bn_updates' batch statistics when training with real BN.
     """
     compute_dtype = jnp.dtype(spec.compute_dtype)
-    x = batch['data'].astype(compute_dtype)
+    x = batch['data']
+    if x.dtype == jnp.uint8:
+        # TPU.DEVICE_NORMALIZE path: the host ships raw uint8 crops (4x less
+        # transfer); (x/255 - mean)/std runs here in f32 and XLA fuses the
+        # per-channel scale/bias into the stem's input processing.
+        mean = jnp.asarray(spec.data_mean, jnp.float32)
+        std = jnp.asarray(spec.data_std, jnp.float32)
+        x = (x.astype(jnp.float32) / 255.0 - mean) / std
+    x = x.astype(compute_dtype)
     bn_updates: Dict = {} if (train and not spec.use_affine) else None
 
     feats = backbone_forward(spec, params, x, train=train,

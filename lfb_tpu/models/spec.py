@@ -115,6 +115,11 @@ class ModelSpec:
     roi_resolution: int = 7
     roi_spatial_scale: float = 1.0 / 16.0
     compute_dtype: str = 'bfloat16'
+    # Per-channel normalization constants in the MODEL's channel order
+    # (RGB unless USE_BGR), applied on device when 'data' arrives uint8
+    # (TPU.DEVICE_NORMALIZE input pipeline).
+    data_mean: Tuple[float, ...] = (0.45, 0.45, 0.45)
+    data_std: Tuple[float, ...] = (0.225, 0.225, 0.225)
     use_pallas: bool = True
     use_conv1_s2d: bool = False
     use_pallas_stem: bool = False
@@ -224,6 +229,12 @@ def build_spec(cfg, split: str, lfb_infer_only: bool = False) -> ModelSpec:
         roi_resolution=cfg.ROI.XFORM_RESOLUTION,
         roi_spatial_scale=1.0 / cfg.ROI.SCALE_FACTOR,
         compute_dtype=cfg.TPU.COMPUTE_DTYPE,
+        # cfg.DATA_MEAN/STD are BGR-ordered (reference convention); flip to
+        # the model's channel order when the loader emits RGB.
+        data_mean=tuple(cfg.DATA_MEAN if cfg.MODEL.USE_BGR
+                        else cfg.DATA_MEAN[::-1]),
+        data_std=tuple(cfg.DATA_STD if cfg.MODEL.USE_BGR
+                       else cfg.DATA_STD[::-1]),
         use_pallas=cfg.TPU.USE_PALLAS,
         use_conv1_s2d=cfg.TPU['CONV1_SPACE_TO_DEPTH']
         if 'CONV1_SPACE_TO_DEPTH' in cfg.TPU else False,
