@@ -258,9 +258,10 @@ def default_config() -> Config:
     # multi-minute compiles on some XLA:TPU remote-compile services.
     c.TPU.CONV1_SPACE_TO_DEPTH = False
     # Pallas stem kernel (ops/pallas_stem.py): VMEM-resident unfold with
-    # one MXU pass for all 4 spatial taps; ~2.3x faster than the plain XLA
+    # one MXU pass for all 4 spatial taps; ~2.7x faster than the plain XLA
     # stem conv at B=16 on v5e and compiles deterministically (no conv
-    # autotuning).  Inference path only; training uses the plain conv.
+    # autotuning).  Used in training too via a custom VJP (XLA conv
+    # backward).
     c.TPU.PALLAS_STEM = True
     c.TPU.REMAT = 'stage'              # '', 'stage', or 'block' rematerialization
     # Run the per-iteration forward/backward as an explicit shard_map body

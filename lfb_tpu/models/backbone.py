@@ -114,11 +114,18 @@ def backbone_forward(spec: ModelSpec, params: Params, x: jax.Array, *,
 
     B, T, H, W, _ = x.shape
     h = None
-    if (pallas_ok(spec, spec.use_pallas_stem) and not train
-            and temp_strides[0][0] == 1):
-        from lfb_tpu.ops.pallas_stem import stem_conv_s2d
-        h = stem_conv_s2d(x, params['conv1_w'],
-                          temporal_pad=use_temp[0][0])
+    if pallas_ok(spec, spec.use_pallas_stem) and temp_strides[0][0] == 1:
+        # Fused Pallas stem in BOTH modes: training differentiates through
+        # a custom VJP (XLA grad-weights conv; the data cotangent is dead
+        # code).  Eval keeps the historical bf16 kernel dtype.
+        if train:
+            from lfb_tpu.ops.pallas_stem import stem_conv_s2d_diff
+            h = stem_conv_s2d_diff(x, params['conv1_w'],
+                                   temporal_pad=use_temp[0][0])
+        else:
+            from lfb_tpu.ops.pallas_stem import stem_conv_s2d
+            h = stem_conv_s2d(x, params['conv1_w'],
+                              temporal_pad=use_temp[0][0])
     if h is not None:
         pass
     elif (spec.use_conv1_s2d and H % 2 == 0 and W % 2 == 0

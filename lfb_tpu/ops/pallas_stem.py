@@ -33,8 +33,9 @@ This kernel keeps the unfold entirely in VMEM:
 Measured (v5e, marginal per frame at large grid): ~32 us vs ~150 us for
 the plain XLA conv path; whole-stem ~16 ms vs 75-77 ms at B=16, T=32.
 
-Numerically identical to the direct conv up to bf16 rounding.  Inference
-path only (no VJP); training differentiates through the plain conv.
+Numerically identical to the direct conv up to bf16 rounding.  Training
+uses :func:`stem_conv_s2d_diff`: the same kernel forward with a custom VJP
+whose backward is the equivalent XLA conv's VJP (the stem is linear).
 Reference: stem at ``lib/models/resnet_video.py`` (conv1 7x7x{5,3}).
 """
 
@@ -85,9 +86,14 @@ def _stem_kernel(x_hbm, w_ref, o_ref, xs, a_ref, sem, *, kt: int,
                 s, :, pl.dslice(start, blk_l)]
             g += 1
     # (K, M)^T x (K, 4*64): all dw taps in one MXU pass, channels-last.
+    # f32 operands get true-f32 MXU passes (default TPU f32 dots round
+    # through bf16); Mosaic rejects the HIGHEST hint on bf16 operands.
+    precision = (jax.lax.Precision.HIGHEST
+                 if a_ref.dtype == jnp.float32 else None)
     o4 = jax.lax.dot_general(
         a_ref[...], w_ref[...], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)           # (M, 256) f32
+        preferred_element_type=jnp.float32,
+        precision=precision)                          # (M, 256) f32
     # Rows carry NO w halo: tap dw contributes at offset delta = dw - 2,
     # applied as a roll of the position (sublane) axis.  A rolled value is
     # valid iff w + delta stays inside its own 128-lane row; values dragged
@@ -107,6 +113,17 @@ def _stem_kernel(x_hbm, w_ref, o_ref, xs, a_ref, sem, *, kt: int,
     o_ref[0, 0, 0] = acc.astype(o_ref.dtype)
 
 
+def _supported(x_shape, w_shape, temporal_pad: int) -> bool:
+    if not _HAS_PALLAS:
+        return False
+    kt, kh, kw, cin, cout = w_shape
+    B, T, H, W, C = x_shape
+    hp, wp = H // 2, W // 2
+    return ((kh, kw, cin, cout) == (7, 7, 3, 64) and H % 2 == 0
+            and W % 2 == 0 and hp % _HB == 0 and wp <= _LANES
+            and temporal_pad == kt // 2)
+
+
 def stem_conv_s2d(x: jax.Array, w: jax.Array, *, temporal_pad: int,
                   compute_dtype=jnp.bfloat16,
                   batch_chunk: int = 0) -> jax.Array | None:
@@ -114,14 +131,11 @@ def stem_conv_s2d(x: jax.Array, w: jax.Array, *, temporal_pad: int,
     output (B,T,H/2,W/2,64).  Returns None outside the supported envelope
     (caller falls back to the XLA conv)."""
     del batch_chunk  # kept for call-site compat; no HBM im2col to bound
-    if not _HAS_PALLAS:
+    if not _supported(x.shape, w.shape, temporal_pad):
         return None
     kt, kh, kw, cin, cout = w.shape
     B, T, H, W, C = x.shape
     hp, wp = H // 2, W // 2
-    if ((kh, kw, cin, cout) != (7, 7, 3, 64) or H % 2 or W % 2
-            or hp % _HB or wp > _LANES or temporal_pad != kt // 2):
-        return None
 
     # --- XLA prep: s2d pack + halo pad + (C, h*128+w) layout, with ONE
     # transpose (transposes with a 12/16-wide minor dim are relayout-bound;
@@ -178,3 +192,42 @@ def stem_conv_s2d(x: jax.Array, w: jax.Array, *, temporal_pad: int,
     # 128->wp pad columns away; channels already last.
     out = out.reshape(B, T, hp, _LANES, cout)[:, :, :, :wp, :]
     return out
+
+
+# --------------------------------------------------------------------------- #
+# Differentiable wrapper (training path)
+# --------------------------------------------------------------------------- #
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _stem_diff(x, w, temporal_pad):
+    return stem_conv_s2d(x, w, temporal_pad=temporal_pad,
+                         compute_dtype=x.dtype)
+
+
+def _stem_diff_fwd(x, w, temporal_pad):
+    return _stem_diff(x, w, temporal_pad), (x, w)
+
+
+def _stem_diff_bwd(temporal_pad, res, g):
+    # The stem conv is linear, so its VJP is exactly the VJP of the
+    # equivalent XLA conv (dW = grad-weights conv, dX = transposed conv).
+    # In training the stem input is the data batch, whose cotangent nothing
+    # consumes -- XLA dead-code-eliminates the dX conv from the step.
+    x, w = res
+    from lfb_tpu.ops.conv3d import conv3d
+    _, vjp = jax.vjp(
+        lambda x_, w_: conv3d(x_, w_, strides=(1, 2, 2),
+                              padding=(temporal_pad, 3, 3)), x, w)
+    return vjp(g.astype(x.dtype))
+
+
+_stem_diff.defvjp(_stem_diff_fwd, _stem_diff_bwd)
+
+
+def stem_conv_s2d_diff(x: jax.Array, w: jax.Array, *,
+                       temporal_pad: int) -> jax.Array | None:
+    """Differentiable fused stem: Pallas forward (in ``x.dtype``), XLA-conv
+    backward.  Returns None outside the supported envelope."""
+    if not _supported(x.shape, w.shape, temporal_pad):
+        return None
+    return _stem_diff(x, w, temporal_pad)

@@ -198,3 +198,48 @@ def test_pallas_attention_custom_vjp_matches_xla(monkeypatch):
     for a, b, name in zip(gp, gx, 'qkv'):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-2, atol=5e-2, err_msg=name)
+
+
+def test_pallas_stem_custom_vjp_matches_conv3d(monkeypatch):
+    """stem_conv_s2d_diff: Pallas forward + XLA-conv backward must match
+    the plain conv's value and weight gradient."""
+    from lfb_tpu.ops import pallas_stem
+    from lfb_tpu.ops.conv3d import conv3d
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, 'pallas_call',
+                        lambda *a, **k: orig(*a, interpret=True, **k))
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 4, 64, 96, 3), jnp.float32)
+    w = jnp.asarray(0.1 * rng.randn(5, 7, 7, 3, 64), jnp.float32)
+    g_out = jnp.asarray(rng.randn(2, 4, 32, 48, 64), jnp.float32)
+
+    def loss_pallas(w):
+        out = pallas_stem.stem_conv_s2d_diff(x, w, temporal_pad=2)
+        return jnp.sum(out * g_out)
+
+    def loss_xla(w):
+        return jnp.sum(conv3d(x, w, strides=(1, 2, 2),
+                              padding=(2, 3, 3)) * g_out)
+
+    lp, gp = jax.value_and_grad(loss_pallas)(w)
+    lx, gx = jax.value_and_grad(loss_xla)(w)
+    np.testing.assert_allclose(float(lp), float(lx), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                               rtol=1e-4, atol=1e-4)
+
+    # Input cotangent defined too (nothing consumes it in training, but
+    # differentiating through the stem w.r.t. x must be correct).
+    gx_in = jax.grad(lambda x_: jnp.sum(pallas_stem.stem_conv_s2d_diff(
+        x_, w, temporal_pad=2) * g_out))(x)
+    gref_in = jax.grad(lambda x_: jnp.sum(conv3d(
+        x_, w, strides=(1, 2, 2), padding=(2, 3, 3)) * g_out))(x)
+    np.testing.assert_allclose(np.asarray(gx_in), np.asarray(gref_in),
+                               rtol=1e-4, atol=1e-4)
+
+    # unsupported envelope -> None
+    assert pallas_stem.stem_conv_s2d_diff(
+        jnp.zeros((1, 2, 30, 30, 3)), jnp.zeros((5, 7, 7, 3, 64)),
+        temporal_pad=2) is None
