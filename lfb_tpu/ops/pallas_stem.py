@@ -65,25 +65,45 @@ def _stem_kernel(x_hbm, w_ref, o_ref, xs, a_ref, sem, *, kt: int,
     b = pl.program_id(0)
     t = pl.program_id(1)
     blk = pl.program_id(2)
+    T = pl.num_programs(1)
     blk_l = _HB * _LANES
+    S = kt + 1   # ring slots: kt live taps + 1 in-flight prefetch
 
-    # Fetch the kT temporal tap slices once per output frame (the block
-    # dim iterates fastest; the scratch persists across grid steps).
+    # Rolling temporal window: consecutive output frames share kt-1 of
+    # their kt tap slices, so only the NEW slice is fetched per frame --
+    # and it is prefetched one frame ahead (slot (t+kt) % S is unused by
+    # frame t's taps t..t+kt-1), overlapping the DMA with compute.
+    # HBM reads drop kt-fold vs refetching the full window.
+    def fetch(slice_idx, slot):
+        return pltpu.make_async_copy(x_hbm.at[b, slice_idx], xs.at[slot],
+                                     sem.at[slot])
+
     @pl.when(blk == 0)
     def _():
-        for s in range(kt):
-            pltpu.make_async_copy(x_hbm.at[b, t + s], xs.at[s],
-                                  sem.at[s]).start()
-        for s in range(kt):
-            pltpu.make_async_copy(x_hbm.at[b, t + s], xs.at[s],
-                                  sem.at[s]).wait()
+        @pl.when(t == 0)
+        def _():
+            for s in range(kt):
+                fetch(s, s).start()
+            for s in range(kt):
+                fetch(s, s).wait()
+
+        @pl.when(t > 0)
+        def _():
+            slot = jax.lax.rem(t + kt - 1, S)
+            fetch(t + kt - 1, slot).wait()
+
+        @pl.when(t < T - 1)
+        def _():
+            slot = jax.lax.rem(t + kt, S)
+            fetch(t + kt, slot).start()
 
     g = 0
     for s in range(kt):
+        slot = jax.lax.rem(t + s, S)
         for dh in range(_DH):
             start = (blk * _HB + dh) * _LANES
             a_ref[g * _C:(g + 1) * _C, :] = xs[
-                s, :, pl.dslice(start, blk_l)]
+                slot, :, pl.dslice(start, blk_l)]
             g += 1
     # (K, M)^T x (K, 4*64): all dw taps in one MXU pass, channels-last.
     # f32 operands get true-f32 MXU passes (default TPU f32 dots round
@@ -177,14 +197,15 @@ def stem_conv_s2d(x: jax.Array, w: jax.Array, *, temporal_pad: int,
         out_shape=jax.ShapeDtypeStruct(
             (B, T, nblk, _HB * _LANES, cout), compute_dtype),
         scratch_shapes=[
-            pltpu.VMEM((kt, _C, hp2 * _LANES), compute_dtype),
+            pltpu.VMEM((kt + 1, _C, hp2 * _LANES), compute_dtype),
             pltpu.VMEM((K, _HB * _LANES), compute_dtype),
-            pltpu.SemaphoreType.DMA((kt,)),
+            pltpu.SemaphoreType.DMA((kt + 1,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * T * hp * _LANES * K * _DW * cout,
-            bytes_accessed=B * T * (kt * _C * hp2 * _LANES
-                                    + hp * _LANES * cout) * 2,
+            # Rolling window: each padded input slice is DMA'd once.
+            bytes_accessed=B * ((T + 2 * temporal_pad) * _C * hp2 * _LANES
+                                + T * hp * _LANES * cout) * 2,
             transcendentals=0,
         ),
     )(xt, w4)
