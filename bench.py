@@ -69,7 +69,12 @@ def run_with_retries(fn, attempts=3, backoff_s=20):
             print('# transient backend error (attempt {}/{}): {}; retrying '
                   'in {}s'.format(attempt + 1, attempts, e, backoff_s),
                   file=sys.stderr)
-            signal.alarm(BENCH_TIMEOUT_S)  # reset watchdog for the retry
+            # Reset the watchdog for the retry -- but only when main()'s
+            # watchdog is actually armed.  Unconditionally arming here would
+            # leave a stray SIGALRM pending in importers of this module
+            # (e.g. the test suite), which the default handler later kills.
+            if signal.alarm(0):
+                signal.alarm(BENCH_TIMEOUT_S)
             time.sleep(backoff_s)
 
 

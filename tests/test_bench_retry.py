@@ -62,3 +62,21 @@ def test_run_with_retries_no_retry_on_real_errors(monkeypatch):
     except ValueError:
         pass
     assert len(calls) == 1
+
+
+def test_run_with_retries_leaves_no_pending_alarm(monkeypatch):
+    """Regression: retrying outside bench's main() must not arm SIGALRM.
+    A leaked alarm fired ~30 min later and killed the whole test process."""
+    import signal
+
+    monkeypatch.setattr(bench.time, 'sleep', lambda s: None)
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 2:
+            raise RuntimeError('UNAVAILABLE: tunnel dropped')
+        return 7
+
+    assert bench.run_with_retries(flaky) == 7
+    assert signal.alarm(0) == 0, 'retry armed a stray watchdog alarm'
