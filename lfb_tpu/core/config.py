@@ -263,6 +263,15 @@ def default_config() -> Config:
     # autotuning).  Used in training too via a custom VJP (XLA conv
     # backward).
     c.TPU.PALLAS_STEM = True
+    # Fused identity-bottleneck kernel (ops/pallas_bottleneck.py): whole
+    # residual block per (batch, frame) with intermediates in VMEM and the
+    # frozen affine folded into the weights -- halves res-stage HBM traffic.
+    # Off by default: measured on v5e it ties or slightly loses to the XLA
+    # conv path (see BENCHMARKS.md "fused bottleneck experiment"); the
+    # narrow bottleneck channels waste MXU lanes and the saved bandwidth
+    # does not pay for the lost overlap.  Inference only; requires
+    # MODEL.USE_AFFINE.
+    c.TPU.PALLAS_BOTTLENECK = False
     c.TPU.REMAT = 'stage'              # '', 'stage', or 'block' rematerialization
     # Run the per-iteration forward/backward as an explicit shard_map body
     # instead of auto-sharded jit.  Numerically identical (loss sums/counts

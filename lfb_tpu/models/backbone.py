@@ -202,6 +202,21 @@ def _bottleneck(spec: ModelSpec, params: Params, prefix: str, x: jax.Array,
         epsilon=spec.bn_epsilon, bn_updates=bn_updates)
     dim_in = x.shape[-1]
 
+    # Fused whole-block Pallas kernel (inference, identity shortcut,
+    # frozen-affine): all intermediates stay in VMEM, halving the stage's
+    # HBM traffic.  Falls through to the XLA path outside the envelope.
+    if (not train and spec.use_affine and dim_in == dim_out
+            and stride == 1 and temp_stride == 1 and spec.groups == 1
+            and pallas_ok(spec, spec.use_pallas_bottleneck)):
+        from lfb_tpu.ops.pallas_bottleneck import (
+            fold_bottleneck_params, fused_identity_bottleneck)
+        folded = fold_bottleneck_params(params, prefix)
+        if folded is not None:
+            h = fused_identity_bottleneck(
+                x, *folded, temporal_pad=use_temp_conv, dilation=dilation)
+            if h is not None:
+                return h
+
     h = conv3d(x, params[prefix + '_branch2a_w'],
                strides=(temp_stride, 1, 1), padding=(use_temp_conv, 0, 0))
     h = jax.nn.relu(norm(prefix + '_branch2a_bn', h))

@@ -123,6 +123,7 @@ class ModelSpec:
     use_pallas: bool = True
     use_conv1_s2d: bool = False
     use_pallas_stem: bool = False
+    use_pallas_bottleneck: bool = False
     # True when the surrounding program is per-device (under
     # shard_map), where Pallas kernels are safe on any mesh size.
     single_device_program: bool = False
@@ -240,5 +241,7 @@ def build_spec(cfg, split: str, lfb_infer_only: bool = False) -> ModelSpec:
         if 'CONV1_SPACE_TO_DEPTH' in cfg.TPU else False,
         use_pallas_stem=cfg.TPU['PALLAS_STEM']
         if 'PALLAS_STEM' in cfg.TPU else False,
+        use_pallas_bottleneck=cfg.TPU['PALLAS_BOTTLENECK']
+        if 'PALLAS_BOTTLENECK' in cfg.TPU else False,
         remat=cfg.TPU.REMAT,
     )

@@ -243,3 +243,100 @@ def test_pallas_stem_custom_vjp_matches_conv3d(monkeypatch):
     assert pallas_stem.stem_conv_s2d_diff(
         jnp.zeros((1, 2, 30, 30, 3)), jnp.zeros((5, 7, 7, 3, 64)),
         temporal_pad=2) is None
+
+
+def test_pallas_bottleneck_matches_xla_block(monkeypatch):
+    """Fused identity-bottleneck kernel == the XLA bottleneck composition
+    (conv + frozen affine + relu chain, identity residual), incl. the
+    temporal-pad masking, width-edge masks, and res5-style dilation."""
+    from jax.experimental import pallas as pl
+    from lfb_tpu.ops import pallas_bottleneck as pb
+    from lfb_tpu.ops.conv3d import conv3d
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, 'pallas_call',
+                        lambda *a, **k: orig(*a, interpret=True, **k))
+
+    rng = np.random.RandomState(0)
+    B, T, H, W, C, Ci = 2, 4, 8, 8, 128, 32
+
+    def xla_block(x, p, kt, d):
+        def aff_relu(h, s, b):
+            return jax.nn.relu(h * s + b)
+        h = conv3d(x, p['w2a'], padding=(kt // 2, 0, 0))
+        h = aff_relu(h, p['s1'], p['b1'])
+        h = conv3d(h, p['w2b'], padding=(0, d, d), dilation=(1, d, d))
+        h = aff_relu(h, p['s2'], p['b2'])
+        h = conv3d(h, p['w2c'])
+        return jax.nn.relu(h * p['s3'] + p['b3'] + x)
+
+    for kt, d in ((3, 1), (1, 1), (1, 2)):
+        p = {
+            'w2a': jnp.asarray(rng.randn(kt, 1, 1, C, Ci) * 0.1, jnp.float32),
+            's1': jnp.asarray(rng.randn(Ci) * 0.5, jnp.float32),
+            'b1': jnp.asarray(rng.randn(Ci) * 0.1, jnp.float32),
+            'w2b': jnp.asarray(rng.randn(1, 3, 3, Ci, Ci) * 0.1, jnp.float32),
+            's2': jnp.asarray(rng.randn(Ci) * 0.5, jnp.float32),
+            'b2': jnp.asarray(rng.randn(Ci) * 0.1, jnp.float32),
+            'w2c': jnp.asarray(rng.randn(1, 1, 1, Ci, C) * 0.1, jnp.float32),
+            's3': jnp.asarray(rng.randn(C) * 0.5, jnp.float32),
+            'b3': jnp.asarray(rng.randn(C) * 0.1, jnp.float32),
+        }
+        x = jnp.asarray(rng.randn(B, T, H, W, C), jnp.float32)
+        ref = xla_block(x, p, kt, d)
+        out = pb.fused_identity_bottleneck(
+            x,
+            p['w2a'].reshape(kt, C, Ci) * p['s1'], p['b1'],
+            p['w2b'].reshape(9, Ci, Ci) * p['s2'], p['b2'],
+            p['w2c'].reshape(Ci, C) * p['s3'], p['b3'],
+            temporal_pad=kt // 2, dilation=d)
+        assert out is not None, (kt, d)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4, err_msg=str((kt, d)))
+
+    # unsupported envelopes -> None (C not x128; HW not x16)
+    assert pb.fused_identity_bottleneck(
+        jnp.zeros((1, 2, 8, 8, 64)), jnp.zeros((1, 64, 16)), jnp.zeros(16),
+        jnp.zeros((9, 16, 16)), jnp.zeros(16), jnp.zeros((16, 64)),
+        jnp.zeros(64), temporal_pad=0) is None
+    assert pb.fused_identity_bottleneck(
+        jnp.zeros((1, 2, 4, 5, 128)), jnp.zeros((1, 128, 32)), jnp.zeros(32),
+        jnp.zeros((9, 32, 32)), jnp.zeros(32), jnp.zeros((32, 128)),
+        jnp.zeros(128), temporal_pad=0) is None
+
+
+def test_fold_bottleneck_params_roundtrip():
+    """fold_bottleneck_params folds affine scales into conv weights with the
+    kernel's layouts."""
+    from lfb_tpu.ops.pallas_bottleneck import fold_bottleneck_params
+
+    rng = np.random.RandomState(1)
+    C, Ci, kt = 128, 32, 3
+    params = {
+        'res4_1_branch2a_w': jnp.asarray(rng.randn(kt, 1, 1, C, Ci),
+                                         jnp.float32),
+        'res4_1_branch2a_bn_s': jnp.asarray(rng.randn(Ci), jnp.float32),
+        'res4_1_branch2a_bn_b': jnp.asarray(rng.randn(Ci), jnp.float32),
+        'res4_1_branch2b_w': jnp.asarray(rng.randn(1, 3, 3, Ci, Ci),
+                                         jnp.float32),
+        'res4_1_branch2b_bn_s': jnp.asarray(rng.randn(Ci), jnp.float32),
+        'res4_1_branch2b_bn_b': jnp.asarray(rng.randn(Ci), jnp.float32),
+        'res4_1_branch2c_w': jnp.asarray(rng.randn(1, 1, 1, Ci, C),
+                                         jnp.float32),
+        'res4_1_branch2c_bn_s': jnp.asarray(rng.randn(C), jnp.float32),
+        'res4_1_branch2c_bn_b': jnp.asarray(rng.randn(C), jnp.float32),
+    }
+    folded = fold_bottleneck_params(params, 'res4_1')
+    assert folded is not None
+    w2a, b1, w2b, b2, w2c, b3 = folded
+    assert w2a.shape == (kt, C, Ci) and w2b.shape == (9, Ci, Ci)
+    assert w2c.shape == (Ci, C)
+    np.testing.assert_allclose(
+        np.asarray(w2a[1, 3]),
+        np.asarray(params['res4_1_branch2a_w'][1, 0, 0, 3]
+                   * params['res4_1_branch2a_bn_s']), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(w2b[4]),  # center tap (dh=0, dw=0)
+        np.asarray(params['res4_1_branch2b_w'][0, 1, 1]
+                   * params['res4_1_branch2b_bn_s']), rtol=1e-6)
+    assert fold_bottleneck_params({}, 'res4_1') is None
