@@ -79,8 +79,14 @@ def run_with_retries(fn, attempts=3, backoff_s=20):
 
 
 def _timeout_handler(signum, frame):
+    mode = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].isdigit() \
+        else 'inference'
+    metric = {
+        'train': 'train clips/sec/chip (fwd+bwd+SGD, R101 LFB-NL-3L)',
+        'data': 'data clips/sec (JPEG decode + train preprocess)',
+    }.get(mode, 'clips/sec/chip (bank extraction + FBO inference)')
     print(json.dumps({
-        'metric': 'clips/sec/chip (bank extraction + FBO inference)',
+        'metric': metric,
         'value': 0.0, 'unit': 'clips/sec/chip', 'vs_baseline': 0.0,
         'error': 'timeout after {}s (TPU compile service stall)'.format(
             BENCH_TIMEOUT_S)}))

@@ -1,0 +1,247 @@
+"""Whole-model cross-framework golden test.
+
+Builds the COMPLETE R50-I3D-NL + FBO-NL model twice with identical weights:
+once through ``lfb_tpu.models.forward`` and once through an independent
+PyTorch implementation written directly from the reference's graph
+construction (``lib/models/resnet_video.py:133-351``,
+``resnet_helper.py:35-155``, ``nonlocal_helper.py:29-213``,
+``head_helper.py:28-60``, ``lfb_helper.py:155-338``) in the reference's
+NCTHW layout -- including the independently transcribed I3D arc table
+(``resnet_video.py:66-78``: conv1 kT=5; res2 [3,3,3]; res3 [3,1,3,1];
+res4 [3,1,3,1,3,1]; res5 [1,3,1]), pool1/pool2 placement, grouped-temporal
+res3 NL (group_size 4), dilated res5, basic head + FBO-NL + softmax.
+
+Block-level golden tests (test_golden_torch.py) cannot catch wiring
+mistakes: a wrong arc entry, an NL block at the wrong index, a missing
+pool, head/FBO plumbing.  This one does.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip('torch')
+
+from lfb_tpu.core import config as C
+from lfb_tpu.models import build_spec, forward, init_params
+
+# ---- Independently transcribed R50-I3D arc (reference arc_type == 2) ----
+ARC_KT = {
+    'conv1': 5,
+    'res2': [3, 3, 3],
+    'res3': [3, 1, 3, 1],
+    'res4': [3, 1, 3, 1, 3, 1],
+    'res5': [1, 3, 1],
+}
+STAGES = [('res2', 3, 256, 64, 1), ('res3', 4, 512, 128, 2),
+          ('res4', 6, 1024, 256, 2), ('res5', 3, 2048, 512, 1)]
+NL_AT = {'res3': (1, 3), 'res4': (1, 3, 5)}   # LAYER_MOD=2 -> idx%2==1
+
+
+def make_cfg():
+    cfg = C.default_config()
+    cfg.DATASET = 'epic'
+    cfg.MODEL.MODEL_NAME = 'resnet_video'
+    cfg.MODEL.NUM_CLASSES = 10
+    cfg.MODEL.DEPTH = 50
+    cfg.MODEL.VIDEO_ARC_CHOICE = 2
+    cfg.MODEL.MULTI_LABEL = False
+    cfg.MODEL.USE_AFFINE = True
+    cfg.NONLOCAL.USE_AFFINE = True
+    cfg.NONLOCAL.USE_BN = False
+    cfg.LFB.ENABLED = True
+    cfg.LFB.FBO_TYPE = 'nl'
+    cfg.LFB.WINDOW_SIZE = 4
+    cfg.FBO_NL.NUM_LAYERS = 2
+    cfg.TRAIN.VIDEO_LENGTH = 16
+    cfg.TEST.VIDEO_LENGTH = 16
+    cfg.TRAIN.CROP_SIZE = 32
+    cfg.TEST.CROP_SIZE = 32
+    cfg.TRAIN.BATCH_SIZE = cfg.TEST.BATCH_SIZE = 2
+    cfg.NUM_GPUS = 1
+    cfg.TPU.COMPUTE_DTYPE = 'float32'
+    cfg.TPU.USE_PALLAS = False
+    return C.finalize(cfg)
+
+
+def tt(a):
+    return torch.tensor(np.asarray(a, np.float32))
+
+
+def t_conv(x, w, b=None, stride=(1, 1, 1), pad=(0, 0, 0), dilation=(1, 1, 1)):
+    """torch conv3d on NCTHW from (kT,kH,kW,Cin,Cout) jax weights."""
+    tw = tt(np.transpose(np.asarray(w), (4, 3, 0, 1, 2)))
+    tb = tt(b) if b is not None else None
+    return torch.nn.functional.conv3d(x, tw, tb, stride=stride, padding=pad,
+                                      dilation=dilation)
+
+
+class TorchRef:
+    """Reference-semantics model over the shared flat param dict."""
+
+    def __init__(self, params):
+        self.p = {k: np.asarray(v) for k, v in params.items()}
+
+    def affine(self, x, name):
+        s = tt(self.p[name + '_s']).view(1, -1, 1, 1, 1)
+        b = tt(self.p[name + '_b']).view(1, -1, 1, 1, 1)
+        return x * s + b
+
+    def conv_affine(self, x, name, stride=(1, 1, 1), pad=(0, 0, 0),
+                    dilation=(1, 1, 1)):
+        h = t_conv(x, self.p[name + '_w'], stride=stride, pad=pad,
+                   dilation=dilation)
+        return self.affine(h, name + '_bn')
+
+    def bottleneck(self, x, prefix, kt, stride, dilation, dim_changes):
+        # reference resnet_helper.py:35-119 (temporal conv on branch2a,
+        # stride on the 3x3, shortcut B)
+        h = self.conv_affine(x, prefix + '_branch2a', pad=(kt // 2, 0, 0))
+        h = torch.relu(h)
+        h = self.conv_affine(h, prefix + '_branch2b',
+                             stride=(1, stride, stride),
+                             pad=(0, dilation, dilation),
+                             dilation=(1, dilation, dilation))
+        h = torch.relu(h)
+        h = self.conv_affine(h, prefix + '_branch2c')
+        if dim_changes or stride != 1:
+            sc = self.conv_affine(x, prefix + '_branch1',
+                                  stride=(1, stride, stride))
+        else:
+            sc = x
+        return torch.relu(h + sc)
+
+    def spacetime_nl(self, x, prefix):
+        # reference nonlocal_helper.py:29-171 (theta full-res; phi/g on
+        # 2x-spatially-maxpooled input; scaled softmax; out conv + affine;
+        # residual added by the caller)
+        B, Cd, T, H, W = x.shape
+        Ci = self.p[prefix + '_theta_w'].shape[-1]
+
+        def c1(t, name):
+            return t_conv(t, self.p[prefix + '_' + name + '_w'],
+                          self.p.get(prefix + '_' + name + '_b'))
+
+        theta = c1(x, 'theta')
+        pooled = torch.nn.functional.max_pool3d(x, (1, 2, 2), (1, 2, 2))
+        phi, g = c1(pooled, 'phi'), c1(pooled, 'g')
+        aff = torch.einsum('bci,bcj->bij', theta.reshape(B, Ci, -1),
+                           phi.reshape(B, Ci, -1)) * Ci ** -0.5
+        prob = torch.softmax(aff, dim=2)
+        t = torch.einsum('bcj,bij->bci', g.reshape(B, Ci, -1), prob)
+        y = c1(t.reshape(theta.shape), 'out')
+        return self.affine(y, prefix + '_bn')
+
+    def nl_grouped(self, x, prefix, group_size=4):
+        # reference nonlocal_helper.py:174-213: regroup T into chunks of
+        # group_size, NL within each, residual, ungroup.
+        B, Cd, T, H, W = x.shape
+        gn = T // group_size
+        xg = (x.permute(0, 2, 1, 3, 4)
+               .reshape(B * gn, group_size, Cd, H, W)
+               .permute(0, 2, 1, 3, 4))
+        out = xg + self.spacetime_nl(xg, prefix)
+        return (out.permute(0, 2, 1, 3, 4)
+                   .reshape(B, T, Cd, H, W).permute(0, 2, 1, 3, 4))
+
+    def fbo_nl_layer(self, a, bank, prefix, latent):
+        # reference lfb_helper.py:170-292 (NLCore + NLLayers residual,
+        # PRE_ACT=True: LayerNorm(eps 1e-3, no affine) + relu before out)
+        def mm(x, name):
+            w = tt(self.p[prefix + '_' + name + '_w'][0, 0, 0])
+            b = self.p.get(prefix + '_' + name + '_b')
+            out = x @ w
+            return out + tt(b) if b is not None else out
+
+        theta = mm(a, 'theta')                        # (N, L)
+        phi, g = mm(bank, 'phi'), mm(bank, 'g')       # (N, W, L)
+        aff = torch.einsum('nc,nwc->nw', theta, phi) * latent ** -0.5
+        prob = torch.softmax(aff, dim=-1)
+        t = torch.einsum('nw,nwc->nc', prob, g)
+        mu = t.mean(-1, keepdim=True)
+        var = t.var(-1, unbiased=False, keepdim=True)
+        t = torch.relu((t - mu) / torch.sqrt(var + 1e-3))
+        return mm(t, 'out') + a
+
+    def forward(self, data, lfb, video_length):
+        # data (B, T, H, W, 3) -> NCTHW
+        x = tt(data).permute(0, 4, 1, 2, 3)
+        x = t_conv(x, self.p['conv1_w'], stride=(1, 2, 2), pad=(2, 3, 3))
+        x = torch.relu(self.affine(x, 'res_conv1_bn'))
+        x = torch.nn.functional.max_pool3d(x, (1, 3, 3), (1, 2, 2),
+                                           padding=(0, 1, 1))
+        dim_in = 64
+        for stage, n_blocks, dim_out, _, stride in STAGES:
+            dilation = 2 if stage == 'res5' else 1
+            for idx in range(n_blocks):
+                kt = ARC_KT[stage][idx]
+                blk_stride = stride if idx == 0 else 1
+                x = self.bottleneck(x, '{}_{}'.format(stage, idx), kt,
+                                    blk_stride, dilation,
+                                    dim_changes=(idx == 0
+                                                 and dim_in != dim_out))
+                dim_in = dim_out
+                if idx in NL_AT.get(stage, ()):
+                    prefix = 'nonlocal_conv{}_{}'.format(
+                        {'res3': 3, 'res4': 4}[stage], idx)
+                    if stage == 'res3':       # grouped (USE_AFFINE mode)
+                        x = self.nl_grouped(x, prefix)
+                    else:
+                        x = x + self.spacetime_nl(x, prefix)
+            if stage == 'res2':
+                x = torch.nn.functional.max_pool3d(x, (2, 1, 1), (2, 1, 1))
+
+        # basic head (reference head_helper.py:28-60): full avg pool.
+        pool_stride = video_length // 2
+        pooled = torch.nn.functional.avg_pool3d(
+            x, (pool_stride, x.shape[-2], x.shape[-1]))
+        clip = pooled.reshape(pooled.shape[0], -1)    # (B, 2048)
+
+        # FBO-NL (reference lfb_helper.py:56-103,266-338).
+        latent = self.p['lfb_1x1_w'].shape[-1]
+        reduc = 'res5_2_branch2c_bn_pooled_fbonl_reduc'
+        a = tt(np.asarray(clip)) @ tt(self.p[reduc + '_w'][0, 0, 0]) \
+            + tt(self.p[reduc + '_b'])
+        bank = tt(lfb) @ tt(self.p['lfb_1x1_w'][0, 0, 0]) \
+            + tt(self.p['lfb_1x1_b'])
+        for i in range(2):
+            a = self.fbo_nl_layer(a, bank, 'lfb_nl{}'.format(i), latent)
+
+        head = torch.cat([clip, a], dim=1)            # (B, 2048 + L)
+        logits = head @ tt(self.p['pred_w']) + tt(self.p['pred_b'])
+        return logits
+
+
+def test_full_model_matches_torch_reference():
+    cfg = make_cfg()
+    spec = build_spec(cfg, 'val')
+    rng = np.random.RandomState(0)
+
+    params = init_params(jax.random.PRNGKey(0), spec)
+    # Zero-initialized projections (NL out convs) would hide mapping errors;
+    # give every parameter a random value.
+    params = {
+        k: jnp.asarray(rng.randn(*v.shape).astype('f')
+                       * (0.5 / np.sqrt(max(1, v.shape[-2]
+                                            if v.ndim > 1 else 1))))
+        for k, v in params.items()
+    }
+
+    B, T, crop, W = 2, 16, 32, 4
+    data = rng.randn(B, T, crop, crop, 3).astype('f') * 0.5
+    lfb = rng.randn(B, W, 2048).astype('f') * 0.5
+    labels = rng.randint(0, 10, size=(B,))
+
+    out = forward(spec, params, {
+        'data': jnp.asarray(data), 'lfb': jnp.asarray(lfb),
+        'labels': jnp.asarray(labels)}, train=False)
+
+    ref_logits = TorchRef(params).forward(data, lfb, T).numpy()
+
+    np.testing.assert_allclose(np.asarray(out['logits']), ref_logits,
+                               rtol=2e-3, atol=2e-3)
+    ref_prob = torch.softmax(torch.tensor(ref_logits), dim=-1).numpy()
+    np.testing.assert_allclose(np.asarray(out['prob']), ref_prob,
+                               rtol=2e-3, atol=2e-3)
