@@ -34,7 +34,16 @@ import numpy as np
 REFERENCE_CLIPS_PER_SEC_PER_GPU = 8.0
 # Compile watchdog: the remote-compile service can stall indefinitely; emit
 # an explicit failure line rather than hanging the harness.
-BENCH_TIMEOUT_S = int(os.environ.get('LFB_BENCH_TIMEOUT_S', '540'))
+BENCH_TIMEOUT_S = int(os.environ.get('LFB_BENCH_TIMEOUT_S', '900'))
+
+
+def _rearm_watchdog():
+    """Reset the stall watchdog after a completed milestone (compile, timed
+    loop).  The alarm bounds time WITHOUT PROGRESS, not total runtime: a
+    cold remote-compile service can legitimately take several minutes per
+    program, and the run must not be declared hung while it is advancing."""
+    if signal.alarm(0):
+        signal.alarm(BENCH_TIMEOUT_S)
 
 
 # Substrings identifying transient tunnel/backend failures worth retrying
@@ -69,12 +78,12 @@ def run_with_retries(fn, attempts=3, backoff_s=20):
             print('# transient backend error (attempt {}/{}): {}; retrying '
                   'in {}s'.format(attempt + 1, attempts, e, backoff_s),
                   file=sys.stderr)
-            # Reset the watchdog for the retry -- but only when main()'s
-            # watchdog is actually armed.  Unconditionally arming here would
-            # leave a stray SIGALRM pending in importers of this module
-            # (e.g. the test suite), which the default handler later kills.
-            if signal.alarm(0):
-                signal.alarm(BENCH_TIMEOUT_S)
+            # Reset the watchdog for the retry.  _rearm_watchdog only re-arms
+            # when main()'s watchdog is actually pending: unconditionally
+            # arming here would leave a stray SIGALRM in importers of this
+            # module (e.g. the test suite), which the default handler later
+            # kills.
+            _rearm_watchdog()
             time.sleep(backoff_s)
 
 
@@ -114,8 +123,10 @@ def timed_device_loop(step_fn, args, iters):
         return jax.lax.fori_loop(0, iters, body, (args, jnp.float32(0)))[1]
 
     float(loop(args))  # compile + warm
+    _rearm_watchdog()
     t0 = time.perf_counter()
     float(loop(args))
+    _rearm_watchdog()
     return (time.perf_counter() - t0) / iters
 
 
@@ -163,6 +174,7 @@ def bench_train(batch_clips: int, iters: int):
     state = (trainable, frozen, mstate)
     state = step(*state, batch, jax.random.PRNGKey(0), jnp.float32(1e-4))[:3]
     float(state[2].momentum['pred_w'].sum())
+    _rearm_watchdog()
     t0 = time.perf_counter()
     for i in range(iters):
         out = step(*state, batch, jax.random.PRNGKey(i), jnp.float32(1e-4))
@@ -310,6 +322,7 @@ def _run_inference_bench(cfg, batch_clips, iters, boxes_per_clip):
     spec_extract = build_spec(cfg, 'test', lfb_infer_only=True)
     spec_full = build_spec(cfg, 'test')
     params = jax.device_put(init_params(jax.random.PRNGKey(0), spec_full))
+    _rearm_watchdog()   # device reachable; compile milestones re-arm later
     extract_names = set(init_params(jax.random.PRNGKey(0), spec_extract))
     extract_params = {k: v for k, v in params.items() if k in extract_names}
 

@@ -40,7 +40,7 @@ STAGES = [('res2', 3, 256, 64, 1), ('res3', 4, 512, 128, 2),
 NL_AT = {'res3': (1, 3), 'res4': (1, 3, 5)}   # LAYER_MOD=2 -> idx%2==1
 
 
-def make_cfg():
+def make_cfg(**overrides):
     cfg = C.default_config()
     cfg.DATASET = 'epic'
     cfg.MODEL.MODEL_NAME = 'resnet_video'
@@ -63,6 +63,12 @@ def make_cfg():
     cfg.NUM_GPUS = 1
     cfg.TPU.COMPUTE_DTYPE = 'float32'
     cfg.TPU.USE_PALLAS = False
+    for key, value in overrides.items():
+        section = cfg
+        parts = key.split('.')
+        for part in parts[:-1]:
+            section = section[part]
+        section[parts[-1]] = value
     return C.finalize(cfg)
 
 
@@ -165,8 +171,8 @@ class TorchRef:
         t = torch.relu((t - mu) / torch.sqrt(var + 1e-3))
         return mm(t, 'out') + a
 
-    def forward(self, data, lfb, video_length):
-        # data (B, T, H, W, 3) -> NCTHW
+    def backbone(self, data):
+        # data (B, T, H, W, 3) -> NCTHW feature map (B, 2048, T/2, H/16, W/16)
         x = tt(data).permute(0, 4, 1, 2, 3)
         x = t_conv(x, self.p['conv1_w'], stride=(1, 2, 2), pad=(2, 3, 3))
         x = torch.relu(self.affine(x, 'res_conv1_bn'))
@@ -192,6 +198,22 @@ class TorchRef:
                         x = x + self.spacetime_nl(x, prefix)
             if stage == 'res2':
                 x = torch.nn.functional.max_pool3d(x, (2, 1, 1), (2, 1, 1))
+        return x
+
+    def fbo_nl(self, clip, lfb, reduc_name):
+        # FBO-NL (reference lfb_helper.py:56-103,266-338) on (N, 2048) clip
+        # features and an (N, W, 2048) bank window.
+        latent = self.p['lfb_1x1_w'].shape[-1]
+        a = clip @ tt(self.p[reduc_name + '_w'][0, 0, 0]) \
+            + tt(self.p[reduc_name + '_b'])
+        bank = tt(lfb) @ tt(self.p['lfb_1x1_w'][0, 0, 0]) \
+            + tt(self.p['lfb_1x1_b'])
+        for i in range(2):
+            a = self.fbo_nl_layer(a, bank, 'lfb_nl{}'.format(i), latent)
+        return a
+
+    def forward(self, data, lfb, video_length):
+        x = self.backbone(data)
 
         # basic head (reference head_helper.py:28-60): full avg pool.
         pool_stride = video_length // 2
@@ -199,17 +221,27 @@ class TorchRef:
             x, (pool_stride, x.shape[-2], x.shape[-1]))
         clip = pooled.reshape(pooled.shape[0], -1)    # (B, 2048)
 
-        # FBO-NL (reference lfb_helper.py:56-103,266-338).
-        latent = self.p['lfb_1x1_w'].shape[-1]
-        reduc = 'res5_2_branch2c_bn_pooled_fbonl_reduc'
-        a = tt(np.asarray(clip)) @ tt(self.p[reduc + '_w'][0, 0, 0]) \
-            + tt(self.p[reduc + '_b'])
-        bank = tt(lfb) @ tt(self.p['lfb_1x1_w'][0, 0, 0]) \
-            + tt(self.p['lfb_1x1_b'])
-        for i in range(2):
-            a = self.fbo_nl_layer(a, bank, 'lfb_nl{}'.format(i), latent)
-
+        a = self.fbo_nl(clip, lfb, 'res5_2_branch2c_bn_pooled_fbonl_reduc')
         head = torch.cat([clip, a], dim=1)            # (B, 2048 + L)
+        logits = head @ tt(self.p['pred_w']) + tt(self.p['pred_b'])
+        return logits
+
+    def forward_roi(self, data, proposals, lfb, video_length,
+                    roi_align_scalar):
+        # AVA path (reference head_helper.py:61-123): temporal avg-pool to
+        # one frame, RoIAlign (legacy, sampling_ratio=0, scale 1/16), 7x7
+        # max-pool, then per-box FBO-NL and sigmoid classification.
+        x = self.backbone(data)
+        pool_stride = video_length // 2
+        fmap = torch.nn.functional.avg_pool3d(
+            x, (pool_stride, 1, 1)).squeeze(2)        # (B, 2048, h, w)
+        feats_nhwc = fmap.permute(0, 2, 3, 1).numpy()
+        roi = roi_align_scalar(feats_nhwc, np.asarray(proposals, np.float32),
+                               7, 1.0 / 16.0)         # (N, 7, 7, 2048)
+        clip = torch.tensor(roi.max(axis=(1, 2)))     # (N, 2048) 7x7 maxpool
+
+        a = self.fbo_nl(clip, lfb, 'box_pooled_fbonl_reduc')
+        head = torch.cat([clip, a], dim=1)
         logits = head @ tt(self.p['pred_w']) + tt(self.p['pred_b'])
         return logits
 
@@ -244,4 +276,46 @@ def test_full_model_matches_torch_reference():
                                rtol=2e-3, atol=2e-3)
     ref_prob = torch.softmax(torch.tensor(ref_logits), dim=-1).numpy()
     np.testing.assert_allclose(np.asarray(out['prob']), ref_prob,
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_full_model_ava_roi_matches_torch_reference():
+    """AVA flagship path: RoI head (temporal pool -> legacy RoIAlign ->
+    7x7 max-pool) + per-box FBO-NL + sigmoid, vs torch backbone + the
+    scalar Caffe2-semantics RoIAlign transcription from test_ops."""
+    from tests.test_ops import _roi_align_scalar
+
+    cfg = make_cfg(**{'DATASET': 'ava', 'MODEL.NUM_CLASSES': 12,
+                      'MODEL.MULTI_LABEL': True})
+    spec = build_spec(cfg, 'val')
+    rng = np.random.RandomState(3)
+
+    params = init_params(jax.random.PRNGKey(0), spec)
+    params = {
+        k: jnp.asarray(rng.randn(*v.shape).astype('f')
+                       * (0.5 / np.sqrt(max(1, v.shape[-2]
+                                            if v.ndim > 1 else 1))))
+        for k, v in params.items()
+    }
+
+    B, T, crop = 2, 16, 32
+    n_boxes = 6
+    data = rng.randn(B, T, crop, crop, 3).astype('f') * 0.5
+    proposals = np.stack([
+        np.repeat(np.arange(B), n_boxes // B).astype('f'),
+        rng.uniform(0, crop / 2, n_boxes).astype('f'),
+        rng.uniform(0, crop / 2, n_boxes).astype('f'),
+        rng.uniform(crop / 2, crop, n_boxes).astype('f'),
+        rng.uniform(crop / 2, crop, n_boxes).astype('f')], axis=1)
+    lfb = rng.randn(n_boxes, spec.fbo.num_lfb_feat, 2048).astype('f') * 0.5
+
+    out = forward(spec, params, {
+        'data': jnp.asarray(data), 'proposals': jnp.asarray(proposals),
+        'box_mask': jnp.ones(n_boxes, jnp.float32),
+        'lfb': jnp.asarray(lfb)}, train=False)
+
+    ref_logits = TorchRef(params).forward_roi(
+        data, proposals, lfb, T, _roi_align_scalar).numpy()
+
+    np.testing.assert_allclose(np.asarray(out['logits']), ref_logits,
                                rtol=2e-3, atol=2e-3)
