@@ -56,9 +56,18 @@ _TRANSIENT_MARKERS = (
 )
 
 
+# Deterministic failures that can arrive wrapped in transient-looking
+# transport errors (the remote compile service reports compiler errors as
+# HTTP 500s): never retry these.
+_PERMANENT_MARKERS = (
+    'out of memory', 'resource_exhausted', 'mosaic', 'invalid_argument',
+    'permanent error', 'unimplemented',
+)
+
+
 def _is_transient(exc) -> bool:
     msg = '{}: {}'.format(type(exc).__name__, exc).lower()
-    if 'out of memory' in msg or 'resource_exhausted' in msg:
+    if any(m in msg for m in _PERMANENT_MARKERS):
         return False
     return any(m in msg for m in _TRANSIENT_MARKERS)
 

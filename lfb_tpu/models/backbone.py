@@ -121,7 +121,8 @@ def backbone_forward(spec: ModelSpec, params: Params, x: jax.Array, *,
         if train:
             from lfb_tpu.ops.pallas_stem import stem_conv_s2d_diff
             h = stem_conv_s2d_diff(x, params['conv1_w'],
-                                   temporal_pad=use_temp[0][0])
+                                   temporal_pad=use_temp[0][0],
+                                   axis_name=spec.data_axis)
         else:
             from lfb_tpu.ops.pallas_stem import stem_conv_s2d
             h = stem_conv_s2d(x, params['conv1_w'],

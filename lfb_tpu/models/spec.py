@@ -127,6 +127,13 @@ class ModelSpec:
     # True when the surrounding program is per-device (under
     # shard_map), where Pallas kernels are safe on any mesh size.
     single_device_program: bool = False
+    # Mesh axis name of the data-parallel axis when running inside a
+    # shard_map body, else None.  Custom-VJP kernels need it: the cotangent
+    # of a REPLICATED operand (e.g. conv1_w) must be psum'd over this axis
+    # by the VJP itself -- shard_map's check_vma typing rejects a
+    # device-varying gradient for an invariant parameter, and AD cannot
+    # insert the collective through a custom_vjp boundary.
+    data_axis: str | None = None
     remat: str = 'stage'
 
     @property
@@ -237,11 +244,8 @@ def build_spec(cfg, split: str, lfb_infer_only: bool = False) -> ModelSpec:
         data_std=tuple(cfg.DATA_STD if cfg.MODEL.USE_BGR
                        else cfg.DATA_STD[::-1]),
         use_pallas=cfg.TPU.USE_PALLAS,
-        use_conv1_s2d=cfg.TPU['CONV1_SPACE_TO_DEPTH']
-        if 'CONV1_SPACE_TO_DEPTH' in cfg.TPU else False,
-        use_pallas_stem=cfg.TPU['PALLAS_STEM']
-        if 'PALLAS_STEM' in cfg.TPU else False,
-        use_pallas_bottleneck=cfg.TPU['PALLAS_BOTTLENECK']
-        if 'PALLAS_BOTTLENECK' in cfg.TPU else False,
+        use_conv1_s2d=cfg.TPU.CONV1_SPACE_TO_DEPTH,
+        use_pallas_stem=cfg.TPU.PALLAS_STEM,
+        use_pallas_bottleneck=cfg.TPU.PALLAS_BOTTLENECK,
         remat=cfg.TPU.REMAT,
     )

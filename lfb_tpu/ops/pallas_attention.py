@@ -23,6 +23,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from lfb_tpu.ops.pallas_common import out_struct
+
 try:  # Pallas import is deferred-safe for non-TPU debugging environments.
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -133,8 +135,8 @@ def _fwd_call(q, k, v, scale: float):
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, nq_pad, C), q.dtype),
-            jax.ShapeDtypeStruct((B, nq_pad, 1), jnp.float32),
+            out_struct((B, nq_pad, C), q.dtype, q),
+            out_struct((B, nq_pad, 1), jnp.float32, q),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * nq_pad * Nk * C * 2,
@@ -179,9 +181,9 @@ def _bwd_call(q, k, v, do, lse, delta, scale: float):
             pl.BlockSpec((1, Nk, C), lambda b, i: (b, 0, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, nq_pad, C), jnp.float32),
-            jax.ShapeDtypeStruct((B, Nk, C), jnp.float32),
-            jax.ShapeDtypeStruct((B, Nk, C), jnp.float32),
+            out_struct((B, nq_pad, C), jnp.float32, q),
+            out_struct((B, Nk, C), jnp.float32, q),
+            out_struct((B, Nk, C), jnp.float32, q),
         ),
     )(q, k, v, do, lse, delta)
     if nq_pad != Nq:

@@ -50,6 +50,8 @@ try:
 except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
+from lfb_tpu.ops.pallas_common import out_struct
+
 _VMEM_BUDGET = 32 * 1024 * 1024
 
 
@@ -148,7 +150,8 @@ def _kernel(x_hbm, w2a_ref, b2a_ref, w2b_ref, b2b_ref, w2c_ref, b2c_ref,
     o_ref[0, 0] = jnp.maximum(out, 0.0).astype(o_ref.dtype)
 
 
-def _supported(x_shape, kt: int, ci: int, dilation: int) -> bool:
+def _supported(x_shape, kt: int, ci: int, dilation: int,
+               itemsize: int) -> bool:
     if not _HAS_PALLAS:
         return False
     B, T, H, W, C = x_shape
@@ -157,10 +160,10 @@ def _supported(x_shape, kt: int, ci: int, dilation: int) -> bool:
         return False
     if dilation * (W + 1) >= HW:
         return False
-    vmem = ((kt + 1) * HW * C * 2                  # input ring (bf16)
-            + (HW + 2 * _margin(W, dilation)) * ci * 2   # branch2b buffer
-            + HW * C * 2                           # output block
-            + kt * C * ci * 2 + 9 * ci * ci * 2 + ci * C * 2)
+    vmem = ((kt + 1) * HW * C                      # input ring
+            + (HW + 2 * _margin(W, dilation)) * ci   # branch2b buffer
+            + HW * C                               # output block
+            + kt * C * ci + 9 * ci * ci + ci * C) * itemsize
     return vmem <= _VMEM_BUDGET
 
 
@@ -184,7 +187,7 @@ def fused_identity_bottleneck(x: jax.Array, w2a: jax.Array, b2a: jax.Array,
     Returns (B, T, H, W, C), or None outside the supported envelope.
     """
     kt, C, ci = w2a.shape
-    if not _supported(x.shape, kt, ci, dilation):
+    if not _supported(x.shape, kt, ci, dilation, x.dtype.itemsize):
         return None
     assert temporal_pad == kt // 2, (temporal_pad, kt)
     B, T, H, W, _ = x.shape
@@ -208,7 +211,7 @@ def fused_identity_bottleneck(x: jax.Array, w2a: jax.Array, b2a: jax.Array,
             pl.BlockSpec((1, C), lambda b, t: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, HW, C), lambda b, t: (b, t, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, T, HW, C), dt),
+        out_shape=out_struct((B, T, HW, C), dt, x),
         scratch_shapes=[
             pltpu.VMEM((kt + 1, HW, C), dt),
             pltpu.VMEM((HW + 2 * M0, ci), dt),

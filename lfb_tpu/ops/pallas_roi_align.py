@@ -40,6 +40,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from lfb_tpu.ops.pallas_common import out_struct
+
 try:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -204,7 +206,7 @@ def _fwd_call(features, rois, pooled: int, spatial_scale: float):
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((N, 1, C), jnp.float32),
+        out_shape=out_struct((N, 1, C), jnp.float32, feats),
         cost_estimate=pl.CostEstimate(
             flops=2 * N * (pooled * pooled) * H * W * C,
             bytes_accessed=(N * H * W * C + N * C) * 4,
@@ -240,7 +242,7 @@ def _bwd_call(features, rois, dout, pooled: int, spatial_scale: float):
     dfmap = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
+        out_shape=out_struct((B, H, W, C), jnp.float32, feats),
         cost_estimate=pl.CostEstimate(
             flops=4 * N * (pooled * pooled) * H * W * C,
             bytes_accessed=(B * H * W * C * 2 + N * C) * 4,

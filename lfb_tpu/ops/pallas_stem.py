@@ -53,6 +53,8 @@ try:
 except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
+from lfb_tpu.ops.pallas_common import out_struct
+
 _HB = 16          # output rows per block
 _LANES = 128      # padded s2d width (wp + 3 halo <= 128)
 _C = 16           # s2d channels (4 * Cin(3), zero-padded to 16)
@@ -194,8 +196,8 @@ def stem_conv_s2d(x: jax.Array, w: jax.Array, *, temporal_pad: int,
         ],
         out_specs=pl.BlockSpec((1, 1, 1, _HB * _LANES, cout),
                                lambda b, t, r: (b, t, r, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct(
-            (B, T, nblk, _HB * _LANES, cout), compute_dtype),
+        out_shape=out_struct(
+            (B, T, nblk, _HB * _LANES, cout), compute_dtype, x),
         scratch_shapes=[
             pltpu.VMEM((kt + 1, _C, hp2 * _LANES), compute_dtype),
             pltpu.VMEM((K, _HB * _LANES), compute_dtype),
@@ -219,17 +221,17 @@ def stem_conv_s2d(x: jax.Array, w: jax.Array, *, temporal_pad: int,
 # Differentiable wrapper (training path)
 # --------------------------------------------------------------------------- #
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _stem_diff(x, w, temporal_pad):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _stem_diff(x, w, temporal_pad, axis_name):
     return stem_conv_s2d(x, w, temporal_pad=temporal_pad,
                          compute_dtype=x.dtype)
 
 
-def _stem_diff_fwd(x, w, temporal_pad):
-    return _stem_diff(x, w, temporal_pad), (x, w)
+def _stem_diff_fwd(x, w, temporal_pad, axis_name):
+    return _stem_diff(x, w, temporal_pad, axis_name), (x, w)
 
 
-def _stem_diff_bwd(temporal_pad, res, g):
+def _stem_diff_bwd(temporal_pad, axis_name, res, g):
     # The stem conv is linear, so its VJP is exactly the VJP of the
     # equivalent XLA conv (dW = grad-weights conv, dX = transposed conv).
     # In training the stem input is the data batch, whose cotangent nothing
@@ -239,16 +241,26 @@ def _stem_diff_bwd(temporal_pad, res, g):
     _, vjp = jax.vjp(
         lambda x_, w_: conv3d(x_, w_, strides=(1, 2, 2),
                               padding=(temporal_pad, 3, 3)), x, w)
-    return vjp(g.astype(x.dtype))
+    dx, dw = vjp(g.astype(x.dtype))
+    if axis_name is not None:
+        # Inside a shard_map body ``w`` is replicated (device-invariant)
+        # while x/g are per-shard: the weight cotangent must be the global
+        # sum.  AD inserts this psum automatically for plain ops but cannot
+        # see through a custom_vjp, and check_vma typing rejects a
+        # device-varying cotangent for an invariant operand.
+        dw = jax.lax.psum(dw, axis_name)
+    return dx, dw
 
 
 _stem_diff.defvjp(_stem_diff_fwd, _stem_diff_bwd)
 
 
-def stem_conv_s2d_diff(x: jax.Array, w: jax.Array, *,
-                       temporal_pad: int) -> jax.Array | None:
+def stem_conv_s2d_diff(x: jax.Array, w: jax.Array, *, temporal_pad: int,
+                       axis_name: str | None = None) -> jax.Array | None:
     """Differentiable fused stem: Pallas forward (in ``x.dtype``), XLA-conv
-    backward.  Returns None outside the supported envelope."""
+    backward.  ``axis_name`` names the shard_map data axis when running in a
+    per-device body (the weight cotangent is psum'd over it).  Returns None
+    outside the supported envelope."""
     if not _supported(x.shape, w.shape, temporal_pad):
         return None
-    return _stem_diff(x, w, temporal_pad)
+    return _stem_diff(x, w, temporal_pad, axis_name)

@@ -87,7 +87,8 @@ def make_train_step(spec: ModelSpec, solver, mesh=None, bank=None,
         assert spec.use_affine, 'shard_map step requires frozen-affine mode'
         import dataclasses
         from jax import shard_map
-        spec_local = dataclasses.replace(spec, single_device_program=True)
+        spec_local = dataclasses.replace(spec, single_device_program=True,
+                                         data_axis='data')
         from lfb_tpu.models.model import loss_parts
 
         def step(trainable, frozen, mstate, batch, rng, lr):
@@ -203,7 +204,8 @@ def make_eval_step(spec: ModelSpec, mesh=None, with_loss: bool = False,
         import dataclasses
         from jax import shard_map
         from lfb_tpu.models.model import loss_parts
-        spec_local = dataclasses.replace(spec, single_device_program=True)
+        spec_local = dataclasses.replace(spec, single_device_program=True,
+                                         data_axis='data')
 
         def step(params, batch):
             def shard_body(params, batch):

@@ -177,3 +177,69 @@ def test_shard_map_eval_ava_localizes_proposals(eight_devices):
     np.testing.assert_allclose(np.asarray(out_sm['logits']),
                                np.asarray(out_auto['logits']),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_shard_map_train_with_custom_vjp_stem(eight_devices, monkeypatch):
+    """Regression: the Pallas stem's custom VJP must psum its weight
+    cotangent inside a shard_map body.  conv1_w is replicated
+    (device-invariant); without the psum, shard_map's check_vma typing
+    rejects the device-varying gradient at trace time ("out_specs which
+    require replication which can't be statically inferred").  Pallas is
+    TPU-gated in CI, so this runs the real custom-VJP path with the kernel
+    in interpret mode."""
+    from jax.experimental import pallas as pl
+    from lfb_tpu.models import backbone as backbone_mod
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, 'pallas_call',
+                        lambda *a, **k: orig(*a, interpret=True, **k))
+    monkeypatch.setattr(backbone_mod, 'pallas_ok', lambda spec, e=None: True)
+
+    cfg = small_cfg()
+    # Stem-kernel envelope needs crop >= 64 (H/2 % 16 == 0); keep T tiny.
+    cfg.TRAIN.CROP_SIZE = 64
+    cfg.TRAIN.VIDEO_LENGTH = 4
+    # Dropouts off so the two step types' RNG streams don't diverge.
+    cfg.FBO_NL.INPUT_DROPOUT_ON = False
+    cfg.FBO_NL.LFB_DROPOUT_ON = False
+    cfg = C.finalize(cfg)
+    spec = build_spec(cfg, 'train')
+    assert spec.use_pallas_stem     # default on; the path under test
+    mesh = create_mesh(8)
+    params = init_params(jax.random.PRNGKey(0), spec)
+    trainable, frozen = split_params(spec, params)
+    mstate = opt.init_state(params, frozen_param_names(spec, params))
+
+    rng = np.random.RandomState(5)
+    batch = shard_batch(mesh, {
+        'data': 0.1 * rng.randn(8, 4, 64, 64, 3).astype(np.float32),
+        'labels': (rng.rand(8, 6) > 0.5).astype(np.float32),
+        'lfb': rng.randn(8, 4, 2048).astype(np.float32),
+    })
+
+    # The steps donate their param/state args; give each its own copies.
+    def fresh(tree):
+        return jax.tree.map(lambda a: jnp.array(np.asarray(a)), tree)
+
+    step_sm = make_train_step(spec, cfg.SOLVER, mesh, use_shard_map=True)
+    t_sm, _, _, aux_sm = step_sm(fresh(trainable), fresh(frozen),
+                                 fresh(mstate), batch,
+                                 jax.random.PRNGKey(0), jnp.float32(1e-4))
+    assert np.isfinite(float(aux_sm['loss']))
+
+    # The psum'd stem gradient must equal the auto-sharded step's (which
+    # differentiates the plain XLA conv under jit; AD inserts the psum).
+    spec_xla = build_spec(C.clone(cfg, {'TPU.PALLAS_STEM': False}), 'train')
+    step_auto = make_train_step(spec_xla, cfg.SOLVER, mesh)
+    t_auto, _, _, aux_auto = step_auto(fresh(trainable), fresh(frozen),
+                                       fresh(mstate), batch,
+                                       jax.random.PRNGKey(0),
+                                       jnp.float32(1e-4))
+    np.testing.assert_allclose(float(aux_sm['loss']),
+                               float(aux_auto['loss']), rtol=1e-4)
+    # Pallas-forward + XLA-conv-backward vs plain XLA conv round
+    # differently; what matters is there is no missing/doubled psum
+    # (that would be an 8x difference, far outside this tolerance).
+    np.testing.assert_allclose(np.asarray(t_sm['conv1_w']),
+                               np.asarray(t_auto['conv1_w']),
+                               rtol=1e-2, atol=1e-4)
