@@ -145,7 +145,11 @@ def main():
 
     from lfb_tpu.core.config import load_config
     cfg = load_config(args.config_file, args.opts or [])
-    test_net(cfg)
+    # Artifacts (detections CSVs, prediction pickles) go next to the
+    # checkpoints, like the reference's train-time eval outputs.
+    output_dir = cfg.CHECKPOINT.DIR or '.'
+    os.makedirs(output_dir, exist_ok=True)
+    test_net(cfg, output_dir=output_dir)
 
 
 if __name__ == '__main__':

@@ -104,6 +104,28 @@ def main():
     check('bf16 training', np.isfinite(losses).all() and losses[-1] < losses[0],
           'losses %.2f -> %.2f' % (losses[0], losses[-1]))
 
+    # 5: shard_map train step with the COMPILED Pallas kernels (stem +
+    # fused NL attention) on a 1-device mesh.  Exercises the vma-typed
+    # pallas_call outputs and the stem VJP's weight-cotangent psum under
+    # check_vma=True with real Mosaic compilation -- the multi-chip
+    # TPU.SHARD_MAP path that interpret-mode CPU CI approximates.
+    from lfb_tpu.parallel import create_mesh, shard_batch
+    mesh = create_mesh(1)
+    spec_sm = build_spec(cfg, 'train')
+    assert spec_sm.use_pallas and spec_sm.use_pallas_stem
+    params = init_params(jax.random.PRNGKey(1), spec_sm)  # check 4 donated
+    trainable, frozen = split_params(spec_sm, params)
+    mstate = opt.init_state(params, frozen_param_names(spec_sm, params))
+    step_sm = make_train_step(spec_sm, cfg.SOLVER, mesh, use_shard_map=True)
+    sbatch = shard_batch(mesh, {
+        'data': 0.1 * rng.randn(8, 8, 64, 64, 3).astype(np.float32),
+        'labels': rng.randint(0, 20, size=(8,))})
+    _, _, _, aux = step_sm(trainable, frozen, mstate, sbatch,
+                           jax.random.PRNGKey(0), jnp.float32(3e-4))
+    loss_sm = float(aux['loss'])
+    check('shard_map + compiled Pallas kernels', np.isfinite(loss_sm),
+          'loss %.2f' % loss_sm)
+
     print('TPU smoke: all checks passed')
 
 

@@ -36,7 +36,8 @@ def train(cfg):
     if cfg.TRAIN.TEST_AFTER_TRAIN and last_checkpoint:
         from lfb_tpu.core.config import clone
         test_cfg = clone(cfg, {'TEST.PARAMS_FILE': last_checkpoint})
-        test_net(test_cfg, lfb=test_lfb)
+        # Artifacts go next to the checkpoints (reference behavior).
+        test_net(test_cfg, lfb=test_lfb, output_dir=cfg.CHECKPOINT.DIR or '.')
 
 
 def main():
