@@ -146,6 +146,49 @@ def _supported(x_shape, w_shape, temporal_pad: int) -> bool:
             and temporal_pad == kt // 2)
 
 
+def _pack_x(x: jax.Array, temporal_pad: int, compute_dtype):
+    """XLA prep: s2d pack + halo pad + (C, h*128+w) layout, with ONE
+    transpose (transposes with a 12/16-wide minor dim are relayout-bound;
+    two of them measured 11 ms at B=16)."""
+    B, T, H, W, C = x.shape
+    hp, wp = H // 2, W // 2
+    hp2 = hp + 3
+    xp = x.astype(compute_dtype).reshape(B, T, hp, 2, wp, 2, C)
+    # (B, T, hpar, wpar, c, h2, w2); channel packing (hpar, wpar, c).
+    xt = xp.transpose(0, 1, 3, 5, 6, 2, 4).reshape(B, T, 4 * C, hp, wp)
+    # h halo rows for the dh taps; w rows are exactly 128 lanes (no halo --
+    # dw offsets are applied as masked output rolls in the kernel).
+    xt = jnp.pad(xt, ((0, 0), (temporal_pad, temporal_pad),
+                      (0, _C - 4 * C), (2, 1), (0, _LANES - wp)))
+    return xt.reshape(B, T + 2 * temporal_pad, _C, hp2 * _LANES)
+
+
+def _pack_w(w: jax.Array, compute_dtype):
+    """Weights -> w4[(kt,dh,c2), dw*64 + o] with the s2d channel packing
+    c2 = hpar*2*cin + wpar*cin + c and kernel taps zero-padded 7 -> 8
+    (leading zero), matching the ``_pack_x`` layout."""
+    kt, kh, kw, cin, cout = w.shape
+    wpad = jnp.pad(w, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
+    w2 = wpad.reshape(kt, _DH, 2, _DW, 2, cin, cout)
+    # (kt, dh, hpar, dw, wpar, c, o) -> (kt, dh, (hpar, wpar, c), dw, o)
+    w2 = w2.transpose(0, 1, 2, 4, 5, 3, 6).reshape(kt, _DH, 4 * cin, _DW,
+                                                   cout)
+    w2 = jnp.pad(w2, ((0, 0), (0, 0), (0, _C - 4 * cin), (0, 0), (0, 0)))
+    return w2.reshape(kt * _DH * _C, _DW * cout).astype(compute_dtype)
+
+
+def _unpack_dw4(dw4: jax.Array, kt: int, cin: int, cout: int) -> jax.Array:
+    """Inverse of ``_pack_w`` for the weight cotangent: (K, 4*cout) ->
+    (kt, 7, 7, cin, cout).  Zero-padded rows/channels carry no gradient by
+    construction, so plain slicing inverts the packing exactly."""
+    d = dw4.reshape(kt, _DH, _C, _DW, cout)[:, :, :4 * cin]
+    d = d.reshape(kt, _DH, 2, 2, cin, _DW, cout)
+    # (kt, dh, hpar, wpar, c, dw, o) -> (kt, dh, hpar, dw, wpar, c, o)
+    d = d.transpose(0, 1, 2, 5, 3, 4, 6)
+    d = d.reshape(kt, 2 * _DH, 2 * _DW, cin, cout)
+    return d[:, 1:, 1:]
+
+
 def stem_conv_s2d(x: jax.Array, w: jax.Array, *, temporal_pad: int,
                   compute_dtype=jnp.bfloat16,
                   batch_chunk: int = 0) -> jax.Array | None:
@@ -158,31 +201,10 @@ def stem_conv_s2d(x: jax.Array, w: jax.Array, *, temporal_pad: int,
     kt, kh, kw, cin, cout = w.shape
     B, T, H, W, C = x.shape
     hp, wp = H // 2, W // 2
-
-    # --- XLA prep: s2d pack + halo pad + (C, h*128+w) layout, with ONE
-    # transpose (transposes with a 12/16-wide minor dim are relayout-bound;
-    # two of them measured 11 ms at B=16). ---
-    xb = x.astype(compute_dtype)
     hp2 = hp + 3
-    xp = xb.reshape(B, T, hp, 2, wp, 2, C)
-    # (B, T, hpar, wpar, c, h2, w2); channel packing (hpar, wpar, c).
-    xt = xp.transpose(0, 1, 3, 5, 6, 2, 4).reshape(B, T, 4 * C, hp, wp)
-    # h halo rows for the dh taps; w rows are exactly 128 lanes (no halo --
-    # dw offsets are applied as masked output rolls in the kernel).
-    xt = jnp.pad(xt, ((0, 0), (temporal_pad, temporal_pad),
-                      (0, _C - 4 * C), (2, 1), (0, _LANES - wp)))
-    xt = xt.reshape(B, T + 2 * temporal_pad, _C, hp2 * _LANES)
 
-    # --- weights: w4[(kt,dh,c2), dw*64 + o] with the s2d channel packing
-    # c2 = hpar*2*cin + wpar*cin + c and kernel taps zero-padded 7 -> 8
-    # (leading zero), matching xp above. ---
-    wpad = jnp.pad(w, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
-    w2 = wpad.reshape(kt, _DH, 2, _DW, 2, cin, cout)
-    # (kt, dh, hpar, dw, wpar, c, o) -> (kt, dh, (hpar, wpar, c), dw, o)
-    w2 = w2.transpose(0, 1, 2, 4, 5, 3, 6).reshape(kt, _DH, 4 * cin, _DW,
-                                                   cout)
-    w2 = jnp.pad(w2, ((0, 0), (0, 0), (0, _C - 4 * cin), (0, 0), (0, 0)))
-    w4 = w2.reshape(kt * _DH * _C, _DW * cout).astype(compute_dtype)
+    xt = _pack_x(x, temporal_pad, compute_dtype)
+    w4 = _pack_w(w, compute_dtype)
 
     nblk = hp // _HB
     K = kt * _DH * _C
@@ -218,6 +240,139 @@ def stem_conv_s2d(x: jax.Array, w: jax.Array, *, temporal_pad: int,
 
 
 # --------------------------------------------------------------------------- #
+# Weight-gradient kernel (training path)
+# --------------------------------------------------------------------------- #
+
+def _stem_dw_kernel(x_hbm, g_ref, dw_ref, xs, a_ref, do4, sem, *, kt: int,
+                    cout: int):
+    """dW = sum over (b, t, blk) of A_blk @ dO4_blk.
+
+    Reuses the forward kernel's rolling-window DMA and A-matrix build; the
+    incoming cotangent block is "un-rolled" (the exact transpose of the
+    forward's masked dw-combination rolls) into dO4 (M, 4*cout), and one
+    MXU pass accumulates the (K, 4*cout) packed weight gradient, which
+    stays VMEM-resident across the whole grid.
+    """
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    blk = pl.program_id(2)
+    T = pl.num_programs(1)
+    blk_l = _HB * _LANES
+    S = kt + 1
+
+    def fetch(slice_idx, slot):
+        return pltpu.make_async_copy(x_hbm.at[b, slice_idx], xs.at[slot],
+                                     sem.at[slot])
+
+    @pl.when(blk == 0)
+    def _():
+        @pl.when(t == 0)
+        def _():
+            for s in range(kt):
+                fetch(s, s).start()
+            for s in range(kt):
+                fetch(s, s).wait()
+
+        @pl.when(t > 0)
+        def _():
+            slot = jax.lax.rem(t + kt - 1, S)
+            fetch(t + kt - 1, slot).wait()
+
+        @pl.when(t < T - 1)
+        def _():
+            slot = jax.lax.rem(t + kt, S)
+            fetch(t + kt, slot).start()
+
+    first = jnp.logical_and(b == 0, jnp.logical_and(t == 0, blk == 0))
+    @pl.when(first)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    row = 0
+    for s in range(kt):
+        slot = jax.lax.rem(t + s, S)
+        for dh in range(_DH):
+            start = (blk * _HB + dh) * _LANES
+            a_ref[row * _C:(row + 1) * _C, :] = xs[
+                slot, :, pl.dslice(start, blk_l)]
+            row += 1
+
+    # Transpose of the forward roll-combine: out[m] += o4[m+delta]*valid[m]
+    # => dO4[m'] = (g*valid)[m'-delta], i.e. mask at the OUTPUT position
+    # then roll forward by delta.
+    w_lane = jax.lax.broadcasted_iota(jnp.int32, (blk_l, 1), 0) % _LANES
+    # Mosaic's rotate requires 32-bit data; roll in f32 and store back in
+    # the kernel dtype for the MXU pass.
+    gy = g_ref[0, 0, 0].astype(jnp.float32)              # (M, cout)
+    for dw in range(_DW):
+        delta = dw - 2
+        gg = gy
+        if delta:
+            valid = (w_lane >= -delta) if delta < 0 else (
+                w_lane < _LANES - delta)
+            gg = jnp.where(valid, gg, 0.0)
+            gg = pltpu.roll(gg, delta % blk_l, 0)
+        do4[:, dw * cout:(dw + 1) * cout] = gg.astype(do4.dtype)
+
+    dw_ref[...] += jax.lax.dot_general(
+        a_ref[...], do4[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def stem_conv_s2d_dw(x: jax.Array, g: jax.Array, w_shape, *,
+                     temporal_pad: int,
+                     compute_dtype=jnp.bfloat16) -> jax.Array | None:
+    """Weight gradient of the stem conv: (x, dOut) -> dW (kt,7,7,3,64).
+
+    The XLA grad-weights conv inherits the forward's Cin=3 MXU starvation
+    (measured 20.8 ms at B=8 on v5e, ~13% of the whole train step); this
+    kernel computes it at the forward kernel's efficiency.  Returns None
+    outside the forward envelope.
+    """
+    kt, kh, kw, cin, cout = w_shape
+    if not _supported(x.shape, w_shape, temporal_pad):
+        return None
+    B, T, H, W, C = x.shape
+    hp, wp = H // 2, W // 2
+    hp2 = hp + 3
+
+    xt = _pack_x(x, temporal_pad, compute_dtype)
+    # Cotangent -> the forward kernel's block layout (pad wp -> 128 lanes
+    # with zeros; they correspond to cropped columns and carry no gradient).
+    g4 = jnp.pad(g.astype(compute_dtype),
+                 ((0, 0), (0, 0), (0, 0), (0, _LANES - wp), (0, 0)))
+    nblk = hp // _HB
+    g4 = g4.reshape(B, T, nblk, _HB * _LANES, cout)
+
+    K = kt * _DH * _C
+    kernel = functools.partial(_stem_dw_kernel, kt=kt, cout=cout)
+    dw4 = pl.pallas_call(
+        kernel,
+        grid=(B, T, nblk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),     # xt stays in HBM
+            pl.BlockSpec((1, 1, 1, _HB * _LANES, cout),
+                         lambda b, t, r: (b, t, r, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((K, _DW * cout), lambda b, t, r: (0, 0)),
+        out_shape=out_struct((K, _DW * cout), jnp.float32, x),
+        scratch_shapes=[
+            pltpu.VMEM((kt + 1, _C, hp2 * _LANES), compute_dtype),
+            pltpu.VMEM((K, _HB * _LANES), compute_dtype),
+            pltpu.VMEM((_HB * _LANES, _DW * cout), compute_dtype),
+            pltpu.SemaphoreType.DMA((kt + 1,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * hp * _LANES * K * _DW * cout,
+            bytes_accessed=B * ((T + 2 * temporal_pad) * _C * hp2 * _LANES
+                                + T * hp * _LANES * cout) * 2,
+            transcendentals=0,
+        ),
+    )(xt, g4)
+    return _unpack_dw4(dw4, kt, cin, cout)
+
+
+# --------------------------------------------------------------------------- #
 # Differentiable wrapper (training path)
 # --------------------------------------------------------------------------- #
 
@@ -232,16 +387,27 @@ def _stem_diff_fwd(x, w, temporal_pad, axis_name):
 
 
 def _stem_diff_bwd(temporal_pad, axis_name, res, g):
-    # The stem conv is linear, so its VJP is exactly the VJP of the
-    # equivalent XLA conv (dW = grad-weights conv, dX = transposed conv).
-    # In training the stem input is the data batch, whose cotangent nothing
-    # consumes -- XLA dead-code-eliminates the dX conv from the step.
+    # The stem conv is linear, so its VJP is the pair (dX = transposed
+    # conv, dW = grad-weights conv).  dW runs through the fused Pallas
+    # kernel (the XLA grad-weights conv inherits the forward's Cin=3 MXU
+    # starvation); dX stays the XLA transposed conv -- in training the
+    # stem input is the data batch, whose cotangent nothing consumes, so
+    # XLA dead-code-eliminates it from the step.
     x, w = res
     from lfb_tpu.ops.conv3d import conv3d
-    _, vjp = jax.vjp(
-        lambda x_, w_: conv3d(x_, w_, strides=(1, 2, 2),
-                              padding=(temporal_pad, 3, 3)), x, w)
-    dx, dw = vjp(g.astype(x.dtype))
+    dw = stem_conv_s2d_dw(x, g, w.shape, temporal_pad=temporal_pad,
+                          compute_dtype=x.dtype)
+    if dw is None:
+        _, vjp = jax.vjp(
+            lambda x_, w_: conv3d(x_, w_, strides=(1, 2, 2),
+                                  padding=(temporal_pad, 3, 3)), x, w)
+        dx, dw = vjp(g.astype(x.dtype))
+    else:
+        dw = dw.astype(w.dtype)
+        _, vjp_x = jax.vjp(
+            lambda x_: conv3d(x_, w, strides=(1, 2, 2),
+                              padding=(temporal_pad, 3, 3)), x)
+        dx, = vjp_x(g.astype(x.dtype))
     if axis_name is not None:
         # Inside a shard_map body ``w`` is replicated (device-invariant)
         # while x/g are per-shard: the weight cotangent must be the global

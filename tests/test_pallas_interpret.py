@@ -340,3 +340,35 @@ def test_fold_bottleneck_params_roundtrip():
         np.asarray(params['res4_1_branch2b_w'][0, 1, 1]
                    * params['res4_1_branch2b_bn_s']), rtol=1e-6)
     assert fold_bottleneck_params({}, 'res4_1') is None
+
+
+def test_pallas_stem_dw_matches_conv_grad(monkeypatch):
+    """stem_conv_s2d_dw (fused weight-gradient kernel) == d/dw of the plain
+    XLA conv, incl. the un-roll transpose, kt=1, and cropped-column zeros."""
+    from jax.experimental import pallas as pl
+    from lfb_tpu.ops import pallas_stem
+    from lfb_tpu.ops.conv3d import conv3d
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, 'pallas_call',
+                        lambda *a, **k: orig(*a, interpret=True, **k))
+
+    rng = np.random.RandomState(4)
+    for H, W in ((64, 96), (32, 256)):
+        x = jnp.asarray(rng.randn(2, 4, H, W, 3), jnp.float32)
+        for kt, pad in ((5, 2), (1, 0)):
+            w = jnp.asarray(rng.randn(kt, 7, 7, 3, 64), jnp.float32)
+            dy = jnp.asarray(rng.randn(2, 4, H // 2, W // 2, 64), jnp.float32)
+
+            def loss(w_):
+                return jnp.sum(conv3d(x, w_, strides=(1, 2, 2),
+                                      padding=(pad, 3, 3)) * dy)
+
+            ref = jax.grad(loss)(w)
+            got = pallas_stem.stem_conv_s2d_dw(
+                x, dy, w.shape, temporal_pad=pad,
+                compute_dtype=jnp.float32)
+            assert got is not None, (H, W, kt)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-4, atol=1e-3,
+                                       err_msg=str((H, W, kt)))
