@@ -20,6 +20,20 @@ jax.config.update('jax_platforms', 'cpu')
 
 import pytest  # noqa: E402
 
+# Modules dominated by multi-minute jit compiles on the 1-vCPU host.
+# ``pytest -m "not slow"`` is the fast core lane (~4 min); the full suite
+# takes ~15 min.
+_SLOW_MODULES = {
+    'test_integration', 'test_parallel', 'test_golden_full_model',
+    'test_golden_torch', 'test_pallas_interpret',
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__.rsplit('.', 1)[-1] in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope='session')
 def eight_devices():
