@@ -189,11 +189,19 @@ def test_shard_map_train_with_custom_vjp_stem(eight_devices, monkeypatch):
     in interpret mode."""
     from jax.experimental import pallas as pl
     from lfb_tpu.models import backbone as backbone_mod
+    from lfb_tpu.ops import pallas_stem
 
     orig = pl.pallas_call
     monkeypatch.setattr(pl, 'pallas_call',
                         lambda *a, **k: orig(*a, interpret=True, **k))
     monkeypatch.setattr(backbone_mod, 'pallas_ok', lambda spec, e=None: True)
+    # The dW kernel's accumulated output block trips a Pallas
+    # hlo_interpreter limitation under check_vma ("dynamic_slice requires
+    # varying manual axes to match"); on real Mosaic it compiles and runs
+    # (tpu_smoke check 5).  Fall back to the XLA grad-weights conv here --
+    # the psum under test applies to the dW cotangent either way.
+    monkeypatch.setattr(pallas_stem, 'stem_conv_s2d_dw',
+                        lambda *a, **k: None)
 
     cfg = small_cfg()
     # Stem-kernel envelope needs crop >= 64 (H/2 % 16 == 0); keep T tiny.
