@@ -99,15 +99,18 @@ def run_with_retries(fn, attempts=3, backoff_s=20):
 def _timeout_handler(signum, frame):
     mode = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].isdigit() \
         else 'inference'
-    metric = {
-        'train': 'train clips/sec/chip (fwd+bwd+SGD, R101 LFB-NL-3L)',
-        'data': 'data clips/sec (JPEG decode + train preprocess)',
-    }.get(mode, 'clips/sec/chip (bank extraction + FBO inference)')
+    metric, unit, why = {
+        'train': ('train clips/sec/chip (fwd+bwd+SGD, R101 LFB-NL-3L)',
+                  'clips/sec/chip', 'TPU compile service stall'),
+        'data': ('data clips/sec (JPEG decode + train preprocess + '
+                 'device_put)', 'clips/sec', 'host pipeline stall'),
+    }.get(mode, ('clips/sec/chip (bank extraction + FBO inference)',
+                 'clips/sec/chip', 'TPU compile service stall'))
     print(json.dumps({
         'metric': metric,
-        'value': 0.0, 'unit': 'clips/sec/chip', 'vs_baseline': 0.0,
-        'error': 'timeout after {}s (TPU compile service stall)'.format(
-            BENCH_TIMEOUT_S)}))
+        'value': 0.0, 'unit': unit, 'vs_baseline': 0.0,
+        'error': 'timeout after {}s without progress ({})'.format(
+            BENCH_TIMEOUT_S, why)}))
     sys.stdout.flush()
     os._exit(1)
 

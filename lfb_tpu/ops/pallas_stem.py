@@ -62,8 +62,16 @@ _DH = 4           # s2d kernel taps (7-tap stride-2 -> 4 taps, one zero pad)
 _DW = 4
 
 
-def _stem_kernel(x_hbm, w_ref, o_ref, xs, a_ref, sem, *, kt: int,
-                 nblk: int):
+def _ring_window_and_a_matrix(x_hbm, xs, a_ref, sem, *, kt: int):
+    """Shared by the forward and dW kernels: advance the rolling temporal
+    input window and build this block's A matrix.
+
+    Rolling temporal window: consecutive output frames share kt-1 of
+    their kt tap slices, so only the NEW slice is fetched per frame --
+    and it is prefetched one frame ahead (slot (t+kt) % S is unused by
+    frame t's taps t..t+kt-1), overlapping the DMA with compute.
+    HBM reads drop kt-fold vs refetching the full window.
+    """
     b = pl.program_id(0)
     t = pl.program_id(1)
     blk = pl.program_id(2)
@@ -71,11 +79,6 @@ def _stem_kernel(x_hbm, w_ref, o_ref, xs, a_ref, sem, *, kt: int,
     blk_l = _HB * _LANES
     S = kt + 1   # ring slots: kt live taps + 1 in-flight prefetch
 
-    # Rolling temporal window: consecutive output frames share kt-1 of
-    # their kt tap slices, so only the NEW slice is fetched per frame --
-    # and it is prefetched one frame ahead (slot (t+kt) % S is unused by
-    # frame t's taps t..t+kt-1), overlapping the DMA with compute.
-    # HBM reads drop kt-fold vs refetching the full window.
     def fetch(slice_idx, slot):
         return pltpu.make_async_copy(x_hbm.at[b, slice_idx], xs.at[slot],
                                      sem.at[slot])
@@ -99,14 +102,20 @@ def _stem_kernel(x_hbm, w_ref, o_ref, xs, a_ref, sem, *, kt: int,
             slot = jax.lax.rem(t + kt, S)
             fetch(t + kt, slot).start()
 
-    g = 0
+    row = 0
     for s in range(kt):
         slot = jax.lax.rem(t + s, S)
         for dh in range(_DH):
             start = (blk * _HB + dh) * _LANES
-            a_ref[g * _C:(g + 1) * _C, :] = xs[
+            a_ref[row * _C:(row + 1) * _C, :] = xs[
                 slot, :, pl.dslice(start, blk_l)]
-            g += 1
+            row += 1
+
+
+def _stem_kernel(x_hbm, w_ref, o_ref, xs, a_ref, sem, *, kt: int,
+                 nblk: int):
+    blk_l = _HB * _LANES
+    _ring_window_and_a_matrix(x_hbm, xs, a_ref, sem, kt=kt)
     # (K, M)^T x (K, 4*64): all dw taps in one MXU pass, channels-last.
     # f32 operands get true-f32 MXU passes (default TPU f32 dots round
     # through bf16); Mosaic rejects the HIGHEST hint on bf16 operands.
@@ -256,46 +265,14 @@ def _stem_dw_kernel(x_hbm, g_ref, dw_ref, xs, a_ref, do4, sem, *, kt: int,
     b = pl.program_id(0)
     t = pl.program_id(1)
     blk = pl.program_id(2)
-    T = pl.num_programs(1)
     blk_l = _HB * _LANES
-    S = kt + 1
 
-    def fetch(slice_idx, slot):
-        return pltpu.make_async_copy(x_hbm.at[b, slice_idx], xs.at[slot],
-                                     sem.at[slot])
-
-    @pl.when(blk == 0)
-    def _():
-        @pl.when(t == 0)
-        def _():
-            for s in range(kt):
-                fetch(s, s).start()
-            for s in range(kt):
-                fetch(s, s).wait()
-
-        @pl.when(t > 0)
-        def _():
-            slot = jax.lax.rem(t + kt - 1, S)
-            fetch(t + kt - 1, slot).wait()
-
-        @pl.when(t < T - 1)
-        def _():
-            slot = jax.lax.rem(t + kt, S)
-            fetch(t + kt, slot).start()
+    _ring_window_and_a_matrix(x_hbm, xs, a_ref, sem, kt=kt)
 
     first = jnp.logical_and(b == 0, jnp.logical_and(t == 0, blk == 0))
     @pl.when(first)
     def _():
         dw_ref[...] = jnp.zeros_like(dw_ref)
-
-    row = 0
-    for s in range(kt):
-        slot = jax.lax.rem(t + s, S)
-        for dh in range(_DH):
-            start = (blk * _HB + dh) * _LANES
-            a_ref[row * _C:(row + 1) * _C, :] = xs[
-                slot, :, pl.dslice(start, blk_l)]
-            row += 1
 
     # Transpose of the forward roll-combine: out[m] += o4[m+delta]*valid[m]
     # => dO4[m'] = (g*valid)[m'-delta], i.e. mask at the OUTPUT position
@@ -314,9 +291,13 @@ def _stem_dw_kernel(x_hbm, g_ref, dw_ref, xs, a_ref, do4, sem, *, kt: int,
             gg = pltpu.roll(gg, delta % blk_l, 0)
         do4[:, dw * cout:(dw + 1) * cout] = gg.astype(do4.dtype)
 
+    # f32 operands get true-f32 MXU passes (same guard as the forward
+    # kernel: default TPU f32 dots round through bf16).
+    precision = (jax.lax.Precision.HIGHEST
+                 if a_ref.dtype == jnp.float32 else None)
     dw_ref[...] += jax.lax.dot_general(
         a_ref[...], do4[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32, precision=precision)
 
 
 def stem_conv_s2d_dw(x: jax.Array, g: jax.Array, w_shape, *,

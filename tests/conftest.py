@@ -21,7 +21,7 @@ jax.config.update('jax_platforms', 'cpu')
 import pytest  # noqa: E402
 
 # Modules dominated by multi-minute jit compiles on the 1-vCPU host.
-# ``pytest -m "not slow"`` is the fast core lane (~4 min); the full suite
+# ``pytest -m "not slow"`` is the fast core lane (~2 min); the full suite
 # takes ~15 min.
 _SLOW_MODULES = {
     'test_integration', 'test_parallel', 'test_golden_full_model',

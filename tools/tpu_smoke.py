@@ -9,6 +9,9 @@ failure.  Checks:
   2. Pallas attention custom-VJP grads == XLA autodiff grads.
   3. Pallas RoIAlign+maxpool == XLA roi_align + max_pool (bf16 tolerance).
   4. bf16 flagship train steps produce finite, decreasing loss.
+  5. shard_map train step with the compiled Pallas kernels (stem fwd +
+     dW, fused NL attention) under check_vma, and its updated conv1_w
+     matches the all-XLA auto-sharded step.
 """
 
 import os
@@ -116,15 +119,34 @@ def main():
     params = init_params(jax.random.PRNGKey(1), spec_sm)  # check 4 donated
     trainable, frozen = split_params(spec_sm, params)
     mstate = opt.init_state(params, frozen_param_names(spec_sm, params))
+    def fresh(tree):
+        return jax.tree.map(lambda a: jnp.array(np.asarray(a)), tree)
+
     step_sm = make_train_step(spec_sm, cfg.SOLVER, mesh, use_shard_map=True)
     sbatch = shard_batch(mesh, {
         'data': 0.1 * rng.randn(8, 8, 64, 64, 3).astype(np.float32),
         'labels': rng.randint(0, 20, size=(8,))})
-    _, _, _, aux = step_sm(trainable, frozen, mstate, sbatch,
-                           jax.random.PRNGKey(0), jnp.float32(3e-4))
+    t_sm, _, _, aux = step_sm(fresh(trainable), fresh(frozen), fresh(mstate),
+                              sbatch, jax.random.PRNGKey(0),
+                              jnp.float32(3e-4))
     loss_sm = float(aux['loss'])
     check('shard_map + compiled Pallas kernels', np.isfinite(loss_sm),
           'loss %.2f' % loss_sm)
+
+    # The Pallas stem dW (+ its shard_map psum) must produce the same
+    # conv1_w update as the all-XLA auto-sharded step.
+    import dataclasses
+    spec_xla = dataclasses.replace(spec_sm, use_pallas=False,
+                                   use_pallas_stem=False)
+    step_auto = make_train_step(spec_xla, cfg.SOLVER, mesh)
+    t_auto, _, _, _ = step_auto(fresh(trainable), fresh(frozen),
+                                fresh(mstate), sbatch,
+                                jax.random.PRNGKey(0), jnp.float32(3e-4))
+    dmax = float(jnp.abs(t_sm['conv1_w'] - t_auto['conv1_w']).max())
+    scale = float(jnp.abs(t_auto['conv1_w']).max())
+    check('shard_map Pallas conv1_w update == XLA step',
+          dmax < 2e-2 * max(scale, 1e-3),
+          'max abs diff %.2e (scale %.2e)' % (dmax, scale))
 
     print('TPU smoke: all checks passed')
 
