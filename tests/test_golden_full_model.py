@@ -84,11 +84,18 @@ def t_conv(x, w, b=None, stride=(1, 1, 1), pad=(0, 0, 0), dilation=(1, 1, 1)):
                                       dilation=dilation)
 
 
+C2D_ARC_KT = {    # reference arc_type == 1: no temporal convs anywhere
+    'conv1': 1,
+    'res2': [1, 1, 1], 'res3': [1] * 4, 'res4': [1] * 6, 'res5': [1] * 3,
+}
+
+
 class TorchRef:
     """Reference-semantics model over the shared flat param dict."""
 
-    def __init__(self, params):
+    def __init__(self, params, arc_kt=None):
         self.p = {k: np.asarray(v) for k, v in params.items()}
+        self.arc_kt = arc_kt or ARC_KT
 
     def affine(self, x, name):
         s = tt(self.p[name + '_s']).view(1, -1, 1, 1, 1)
@@ -173,8 +180,10 @@ class TorchRef:
 
     def backbone(self, data):
         # data (B, T, H, W, 3) -> NCTHW feature map (B, 2048, T/2, H/16, W/16)
+        kt1 = self.arc_kt['conv1']
         x = tt(data).permute(0, 4, 1, 2, 3)
-        x = t_conv(x, self.p['conv1_w'], stride=(1, 2, 2), pad=(2, 3, 3))
+        x = t_conv(x, self.p['conv1_w'], stride=(1, 2, 2),
+                   pad=(kt1 // 2, 3, 3))
         x = torch.relu(self.affine(x, 'res_conv1_bn'))
         x = torch.nn.functional.max_pool3d(x, (1, 3, 3), (1, 2, 2),
                                            padding=(0, 1, 1))
@@ -182,7 +191,7 @@ class TorchRef:
         for stage, n_blocks, dim_out, _, stride in STAGES:
             dilation = 2 if stage == 'res5' else 1
             for idx in range(n_blocks):
-                kt = ARC_KT[stage][idx]
+                kt = self.arc_kt[stage][idx]
                 blk_stride = stride if idx == 0 else 1
                 x = self.bottleneck(x, '{}_{}'.format(stage, idx), kt,
                                     blk_stride, dilation,
@@ -317,5 +326,33 @@ def test_full_model_ava_roi_matches_torch_reference():
     ref_logits = TorchRef(params).forward_roi(
         data, proposals, lfb, T, _roi_align_scalar).numpy()
 
+    np.testing.assert_allclose(np.asarray(out['logits']), ref_logits,
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_full_model_c2d_arc_matches_torch_reference():
+    """C2D arc (VIDEO_ARC_CHOICE=1: no temporal convs anywhere) through the
+    same independent torch reference."""
+    cfg = make_cfg(**{'MODEL.VIDEO_ARC_CHOICE': 1})
+    spec = build_spec(cfg, 'val')
+    rng = np.random.RandomState(6)
+
+    params = init_params(jax.random.PRNGKey(0), spec)
+    params = {
+        k: jnp.asarray(rng.randn(*v.shape).astype('f')
+                       * (0.5 / np.sqrt(max(1, v.shape[-2]
+                                            if v.ndim > 1 else 1))))
+        for k, v in params.items()
+    }
+    assert params['conv1_w'].shape[0] == 1      # C2D stem has kT=1
+
+    B, T, crop, W = 2, 16, 32, 4
+    data = rng.randn(B, T, crop, crop, 3).astype('f') * 0.5
+    lfb = rng.randn(B, W, 2048).astype('f') * 0.5
+
+    out = forward(spec, params, {
+        'data': jnp.asarray(data), 'lfb': jnp.asarray(lfb)}, train=False)
+    ref_logits = TorchRef(params, arc_kt=C2D_ARC_KT).forward(
+        data, lfb, T).numpy()
     np.testing.assert_allclose(np.asarray(out['logits']), ref_logits,
                                rtol=2e-3, atol=2e-3)
