@@ -298,3 +298,39 @@ def test_ava_lfb_extraction_and_device_bank_training(tmp_path):
     assert trainer.train_db.device_bank
     last = trainer.train()
     assert last and os.path.isfile(last)
+
+
+def test_test_net_with_device_bank(tmp_path):
+    """Regression: test_net's eval step must receive the HBM DeviceBank --
+    under TPU.DEVICE_BANK the dataset emits no per-example 'lfb' blob, and
+    an eval step built without the bank KeyErrors on batch['lfb']."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
+    import test_net as test_net_mod
+
+    cfg = tiny_cfg(synthetic.build_ava(str(tmp_path)))
+    cfg.CHECKPOINT.DIR = str(tmp_path / 'out')
+    os.makedirs(cfg.CHECKPOINT.DIR, exist_ok=True)
+    cfg.LFB.ENABLED = True
+    cfg.LFB.WINDOW_SIZE = 3
+    cfg.TPU.DEVICE_BANK = True
+    C.finalize(cfg)
+
+    from lfb_tpu.models import build_spec, init_params
+    from lfb_tpu.train import checkpoints as ckpt
+    spec = build_spec(cfg, 'val')
+    params = {k: np.asarray(v) for k, v in init_params(
+        jax.random.PRNGKey(0), spec).items()}
+    model_file = str(tmp_path / 'model.pkl')
+    ckpt.save_params(model_file, params, model_iter=0, lr=0.01)
+    cfg.TEST.PARAMS_FILE = model_file
+
+    # Host-format AVA bank {video_idx: {sec: [2048-d feats]}}; the dataset
+    # converts it to a DeviceBank under TPU.DEVICE_BANK.
+    rng = np.random.RandomState(0)
+    bank = {v: {sec: [rng.randn(2048).astype('f') for _ in range(2)]
+                for sec in range(902, 906)} for v in range(2)}
+
+    metrics = test_net_mod.test_net(
+        cfg, lfb=bank, output_dir=cfg.CHECKPOINT.DIR)
+    assert 0.0 <= metrics['full_map'] <= 1.0

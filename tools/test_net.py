@@ -66,7 +66,13 @@ def test_one_crop(cfg, lfb=None, shift=None, output_dir='.'):
         total_num_boxes=getattr(db, 'num_boxes_used', None),
         num_test_clips=(db.num_test_clips if cfg.DATASET == 'charades' else 1),
         full_eval=True, output_dir=output_dir)
-    step = make_eval_step(spec, mesh,
+    # Under TPU.DEVICE_BANK the dataset converts the host bank to an
+    # HBM-resident DeviceBank and emits no per-example 'lfb' blob; the
+    # eval step then gathers windows on device (same wiring as Trainer).
+    bank = getattr(db, 'lfb', None)
+    if not hasattr(bank, 'gather'):
+        bank = None
+    step = make_eval_step(spec, mesh, bank=bank, bank_seed=cfg.RNG_SEED,
                           use_shard_map=bool(cfg.TPU.SHARD_MAP))
 
     total = loader.num_batches()
