@@ -93,9 +93,13 @@ C2D_ARC_KT = {    # reference arc_type == 1: no temporal convs anywhere
 class TorchRef:
     """Reference-semantics model over the shared flat param dict."""
 
-    def __init__(self, params, arc_kt=None):
+    def __init__(self, params, arc_kt=None, stages=None, nl_at=None,
+                 fbo_layers=2):
         self.p = {k: np.asarray(v) for k, v in params.items()}
         self.arc_kt = arc_kt or ARC_KT
+        self.stages = stages or STAGES
+        self.nl_at = NL_AT if nl_at is None else nl_at
+        self.fbo_layers = fbo_layers
 
     def affine(self, x, name):
         s = tt(self.p[name + '_s']).view(1, -1, 1, 1, 1)
@@ -188,7 +192,7 @@ class TorchRef:
         x = torch.nn.functional.max_pool3d(x, (1, 3, 3), (1, 2, 2),
                                            padding=(0, 1, 1))
         dim_in = 64
-        for stage, n_blocks, dim_out, _, stride in STAGES:
+        for stage, n_blocks, dim_out, _, stride in self.stages:
             dilation = 2 if stage == 'res5' else 1
             for idx in range(n_blocks):
                 kt = self.arc_kt[stage][idx]
@@ -198,7 +202,7 @@ class TorchRef:
                                     dim_changes=(idx == 0
                                                  and dim_in != dim_out))
                 dim_in = dim_out
-                if idx in NL_AT.get(stage, ()):
+                if idx in self.nl_at.get(stage, ()):
                     prefix = 'nonlocal_conv{}_{}'.format(
                         {'res3': 3, 'res4': 4}[stage], idx)
                     if stage == 'res3':       # grouped (USE_AFFINE mode)
@@ -217,7 +221,7 @@ class TorchRef:
             + tt(self.p[reduc_name + '_b'])
         bank = tt(lfb) @ tt(self.p['lfb_1x1_w'][0, 0, 0]) \
             + tt(self.p['lfb_1x1_b'])
-        for i in range(2):
+        for i in range(self.fbo_layers):
             a = self.fbo_nl_layer(a, bank, 'lfb_nl{}'.format(i), latent)
         return a
 
@@ -354,5 +358,226 @@ def test_full_model_c2d_arc_matches_torch_reference():
         'data': jnp.asarray(data), 'lfb': jnp.asarray(lfb)}, train=False)
     ref_logits = TorchRef(params, arc_kt=C2D_ARC_KT).forward(
         data, lfb, T).numpy()
+    np.testing.assert_allclose(np.asarray(out['logits']), ref_logits,
+                               rtol=2e-3, atol=2e-3)
+
+
+# ---- Independently transcribed R101-I3D flagship arc (arc_type == 4) ----
+# Reference resnet_video.py:96-115: conv1 kT=5; res2 [3,3,3]; res3 [3,1,3,1];
+# res4 alternates 3/1 through its 23 blocks (i%2==0 -> kT=3); res5 [1,3,1].
+R101_ARC_KT = {
+    'conv1': 5,
+    'res2': [3, 3, 3],
+    'res3': [3, 1, 3, 1],
+    'res4': [3 if i % 2 == 0 else 1 for i in range(23)],
+    'res5': [1, 3, 1],
+}
+R101_STAGES = [('res2', 3, 256, 64, 1), ('res3', 4, 512, 128, 2),
+               ('res4', 23, 1024, 256, 2), ('res5', 3, 2048, 512, 1)]
+# NL placement for DEPTH=101 (resnet_video.py:213-215,267-269 +
+# resnet_helper.py:150-153): res3 keeps layer_mod=2 -> idx%2==1; res4 uses
+# layer_mod=LAYER_MOD*4-1=7 -> idx%7==6 -> blocks 6, 13, 20.
+R101_NL_AT = {'res3': (1, 3), 'res4': (6, 13, 20)}
+
+
+def test_full_model_r101_flagship_arc_matches_torch_reference():
+    """Flagship arc (VIDEO_ARC_CHOICE=4, DEPTH=101): the 23-block res4 with
+    alternating temporal convs, mod-7 NL placement (blocks 6/13/20), grouped
+    res3 NL and the AVA RoI + 3-layer FBO-NL head together, vs the
+    independent torch transcription."""
+    from tests.test_ops import _roi_align_scalar
+
+    cfg = make_cfg(**{'DATASET': 'ava', 'MODEL.NUM_CLASSES': 12,
+                      'MODEL.MULTI_LABEL': True, 'MODEL.DEPTH': 101,
+                      'MODEL.VIDEO_ARC_CHOICE': 4, 'FBO_NL.NUM_LAYERS': 3})
+    spec = build_spec(cfg, 'val')
+    rng = np.random.RandomState(9)
+
+    params = init_params(jax.random.PRNGKey(0), spec)
+    params = {
+        k: jnp.asarray(rng.randn(*v.shape).astype('f')
+                       * (0.5 / np.sqrt(max(1, v.shape[-2]
+                                            if v.ndim > 1 else 1))))
+        for k, v in params.items()
+    }
+    # Sanity on what the spec wired: alternation + mod-7 NL actually present.
+    assert params['conv1_w'].shape[0] == 5
+    assert params['res4_22_branch2a_w'].shape[0] == 3      # i=22 even -> kT=3
+    assert params['res4_21_branch2a_w'].shape[0] == 1      # i=21 odd  -> kT=1
+    assert 'nonlocal_conv4_6_theta_w' in params
+    assert 'nonlocal_conv4_13_theta_w' in params
+    assert 'nonlocal_conv4_20_theta_w' in params
+    assert 'nonlocal_conv4_5_theta_w' not in params        # R50 placement
+
+    B, T, crop = 2, 16, 32
+    n_boxes = 4
+    data = rng.randn(B, T, crop, crop, 3).astype('f') * 0.5
+    proposals = np.stack([
+        np.repeat(np.arange(B), n_boxes // B).astype('f'),
+        rng.uniform(0, crop / 2, n_boxes).astype('f'),
+        rng.uniform(0, crop / 2, n_boxes).astype('f'),
+        rng.uniform(crop / 2, crop, n_boxes).astype('f'),
+        rng.uniform(crop / 2, crop, n_boxes).astype('f')], axis=1)
+    lfb = rng.randn(n_boxes, spec.fbo.num_lfb_feat, 2048).astype('f') * 0.5
+
+    out = forward(spec, params, {
+        'data': jnp.asarray(data), 'proposals': jnp.asarray(proposals),
+        'box_mask': jnp.ones(n_boxes, jnp.float32),
+        'lfb': jnp.asarray(lfb)}, train=False)
+
+    ref = TorchRef(params, arc_kt=R101_ARC_KT, stages=R101_STAGES,
+                   nl_at=R101_NL_AT, fbo_layers=3)
+    ref_logits = ref.forward_roi(data, proposals, lfb, T,
+                                 _roi_align_scalar).numpy()
+    np.testing.assert_allclose(np.asarray(out['logits']), ref_logits,
+                               rtol=2e-3, atol=2e-3)
+
+
+# --------------------------------------------------------------------------- #
+# Caffe2 import path in the loop: save -> released-style pkl -> load -> golden
+# --------------------------------------------------------------------------- #
+
+def _perturbed_golden_params(spec, rng):
+    params = init_params(jax.random.PRNGKey(0), spec)
+    return {
+        k: jnp.asarray(rng.randn(*v.shape).astype('f')
+                       * (0.5 / np.sqrt(max(1, v.shape[-2]
+                                            if v.ndim > 1 else 1))))
+        for k, v in params.items()
+    }
+
+
+def test_full_model_golden_through_checkpoint_roundtrip(tmp_path):
+    """save_params -> Caffe2-layout pkl on disk -> load_params_into -> the
+    reloaded params still match the torch reference forward bit-for-bit.
+
+    A shape-preserving transpose or sign bug in tpu_to_c2/c2_to_tpu breaks
+    this; paired (self-cancelling) transpose bugs are broken by the direct
+    on-disk layout asserts below, which pin the file to the reference blob
+    layout (Cout, Cin, kT, kH, kW) / (Cout, Cin) from
+    ``lib/utils/checkpoints.py:421-459``.
+    """
+    from lfb_tpu.train.checkpoints import load_params_into, read_pkl, \
+        save_params
+
+    cfg = make_cfg()
+    spec = build_spec(cfg, 'val')
+    rng = np.random.RandomState(11)
+    params = _perturbed_golden_params(spec, rng)
+    momentum = {k: jnp.asarray(rng.randn(*v.shape).astype('f') * 0.1)
+                for k, v in params.items()}
+
+    path = str(tmp_path / 'c2_model_iter77.pkl')
+    save_params(path, params, model_iter=77, lr=0.025, momentum=momentum)
+
+    # On-disk layout is genuinely Caffe2: spot-check element mappings.
+    blobs = read_pkl(path)['blobs']
+    cw = np.asarray(params['conv1_w'])                    # (kT,kH,kW,Cin,Cout)
+    assert blobs['conv1_w'].shape == (64, 3, 5, 7, 7)     # (Cout,Cin,kT,kH,kW)
+    np.testing.assert_array_equal(blobs['conv1_w'][13, 2, 1, 3, 4],
+                                  cw[1, 3, 4, 2, 13])
+    pw = np.asarray(params['pred_w'])                     # (Cin, Cout)
+    assert blobs['pred_w'].shape == (pw.shape[1], pw.shape[0])
+    np.testing.assert_array_equal(blobs['pred_w'][3, 100], pw[100, 3])
+    assert blobs['res2_0_branch2a_w_momentum'].shape == (64, 64, 3, 1, 1)
+
+    # Reload into a zeroed tree: every value must come from the file.
+    zeros = {k: jnp.zeros_like(v) for k, v in params.items()}
+    zeros_m = {k: jnp.zeros_like(v) for k, v in momentum.items()}
+    loaded, loaded_m, model_iter, prev_lr = load_params_into(
+        path, zeros, load_momentum=True, momentum=zeros_m)
+    assert model_iter == 77
+    assert abs(prev_lr - 0.025) < 1e-7
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(loaded[k]),
+                                      np.asarray(params[k]), err_msg=k)
+        np.testing.assert_array_equal(np.asarray(loaded_m[k]),
+                                      np.asarray(momentum[k]), err_msg=k)
+
+    B, T, crop, W = 2, 16, 32, 4
+    data = rng.randn(B, T, crop, crop, 3).astype('f') * 0.5
+    lfb = rng.randn(B, W, 2048).astype('f') * 0.5
+    out = forward(spec, {k: jnp.asarray(v) for k, v in loaded.items()}, {
+        'data': jnp.asarray(data), 'lfb': jnp.asarray(lfb)}, train=False)
+    ref_logits = TorchRef(params).forward(data, lfb, T).numpy()
+    np.testing.assert_allclose(np.asarray(out['logits']), ref_logits,
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_full_model_golden_through_convert_model_import(tmp_path):
+    """CONVERT_MODEL import in the loop: a released-style pretrained pkl with
+    raw BN stats (``*_bn_rm``/``*_bn_riv``), a 2D (image-pretrained) conv1
+    kernel, momentum entries and a classifier -- loaded with
+    ``convert_model=True`` -- must reproduce the golden forward exactly
+    (reference ``lib/utils/checkpoints.py:88-116,132-177,336-362``).
+
+    The BN stats are synthesized so that folding them recovers the golden
+    affine scale/bias; conv1_w is chosen kT-constant so that 2D->3D inflation
+    (stack / kT) recovers the golden 3D kernel.
+    """
+    from lfb_tpu.train.checkpoints import load_params_into, tpu_to_c2, \
+        write_pkl
+
+    cfg = make_cfg()
+    spec = build_spec(cfg, 'val')
+    rng = np.random.RandomState(13)
+    params = _perturbed_golden_params(spec, rng)
+
+    # Make conv1_w invariant under 2D->3D inflation: w3d[t] = base / kT.
+    kt = int(params['conv1_w'].shape[0])
+    base = np.asarray(params['conv1_w'])[0] * kt          # (kH,kW,Cin,Cout)
+    params['conv1_w'] = jnp.asarray(
+        np.stack([base / kt] * kt, axis=0).astype('f'))
+
+    blobs = {'model_iter': 990, 'lr': np.float32(0.4)}
+    for name, value in params.items():
+        v = np.asarray(value, np.float32)
+        if name.startswith('pred_'):
+            # Classifier from the pretrain task: stripped by CONVERT_MODEL.
+            blobs[name] = rng.randn(*tpu_to_c2(name, v).shape).astype('f')
+            continue
+        if name == 'conv1_w':
+            # 2D image-pretrained kernel (Cout, Cin, kH, kW).
+            blobs[name] = np.ascontiguousarray(
+                np.transpose(base, (3, 2, 0, 1)).astype('f'))
+            continue
+        if name.endswith('_bn_s'):
+            # Unfold affine into raw BN + running stats: folding
+            #   s' = s_raw/sqrt(riv+eps), b' = b_raw - rm*s_raw/sqrt(riv+eps)
+            # must recover the golden (s, b).
+            layer = name[:-len('_bn_s')]
+            s = v
+            b = np.asarray(params[layer + '_bn_b'], np.float32)
+            rm = rng.randn(*s.shape).astype('f') * 0.3
+            riv = rng.uniform(0.5, 1.5, s.shape).astype('f')
+            std = np.sqrt(riv + 1e-5)
+            blobs[name] = s * std
+            blobs[layer + '_bn_b'] = b + rm * s
+            blobs[layer + '_bn_rm'] = rm
+            blobs[layer + '_bn_riv'] = riv
+            continue
+        if name.endswith('_bn_b') and (name[:-len('_bn_b')] + '_bn_s') in params:
+            continue                                       # written above
+        blobs[name] = tpu_to_c2(name, v)
+        blobs[name + '_momentum'] = tpu_to_c2(name, v) * 0.5   # must be stripped
+    path = str(tmp_path / 'pretrained.pkl')
+    write_pkl(path, dict(blobs=blobs))
+
+    # Target tree: zeros everywhere except the classifier (kept at golden --
+    # CONVERT_MODEL strips pred_* so the init values must survive).
+    target = {k: (v if k.startswith('pred_') else jnp.zeros_like(v))
+              for k, v in params.items()}
+    loaded, _, _, _ = load_params_into(path, target, convert_model=True)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(loaded[k]),
+                                   np.asarray(params[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+
+    B, T, crop, W = 2, 16, 32, 4
+    data = rng.randn(B, T, crop, crop, 3).astype('f') * 0.5
+    lfb = rng.randn(B, W, 2048).astype('f') * 0.5
+    out = forward(spec, {k: jnp.asarray(v) for k, v in loaded.items()}, {
+        'data': jnp.asarray(data), 'lfb': jnp.asarray(lfb)}, train=False)
+    ref_logits = TorchRef(params).forward(data, lfb, T).numpy()
     np.testing.assert_allclose(np.asarray(out['logits']), ref_logits,
                                rtol=2e-3, atol=2e-3)
