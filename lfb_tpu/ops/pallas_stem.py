@@ -379,23 +379,29 @@ def _stem_diff_bwd(temporal_pad, axis_name, res, g):
     dw = stem_conv_s2d_dw(x, g, w.shape, temporal_pad=temporal_pad,
                           compute_dtype=x.dtype)
     if dw is None:
+        # XLA grad-weights fallback (interpret-mode tests; envelope drift).
+        # Under a shard_map body with check_vma typing, jax.vjp ITSELF
+        # inserts the psum for the replicated (device-invariant) weight
+        # while transposing -- measured: dw ratio 1.0 vs the single-device
+        # reference with no explicit collective, N x with one added -- so
+        # adding a psum here would double-count.
         _, vjp = jax.vjp(
             lambda x_, w_: conv3d(x_, w_, strides=(1, 2, 2),
                                   padding=(temporal_pad, 3, 3)), x, w)
         dx, dw = vjp(g.astype(x.dtype))
     else:
         dw = dw.astype(w.dtype)
+        if axis_name is not None:
+            # The Pallas dW kernel computes the per-shard partial sum as a
+            # primal (non-transposed) computation, so AD cannot insert the
+            # collective for the replicated weight: psum explicitly
+            # (check_vma rejects a device-varying cotangent for an
+            # invariant operand).
+            dw = jax.lax.psum(dw, axis_name)
         _, vjp_x = jax.vjp(
             lambda x_: conv3d(x_, w, strides=(1, 2, 2),
                               padding=(temporal_pad, 3, 3)), x)
         dx, = vjp_x(g.astype(x.dtype))
-    if axis_name is not None:
-        # Inside a shard_map body ``w`` is replicated (device-invariant)
-        # while x/g are per-shard: the weight cotangent must be the global
-        # sum.  AD inserts this psum automatically for plain ops but cannot
-        # see through a custom_vjp, and check_vma typing rejects a
-        # device-varying cotangent for an invariant operand.
-        dw = jax.lax.psum(dw, axis_name)
     return dx, dw
 
 

@@ -245,9 +245,13 @@ def test_shard_map_train_with_custom_vjp_stem(eight_devices, monkeypatch):
                                        jnp.float32(1e-4))
     np.testing.assert_allclose(float(aux_sm['loss']),
                                float(aux_auto['loss']), rtol=1e-4)
-    # Pallas-forward + XLA-conv-backward vs plain XLA conv round
-    # differently; what matters is there is no missing/doubled psum
-    # (that would be an 8x difference, far outside this tolerance).
-    np.testing.assert_allclose(np.asarray(t_sm['conv1_w']),
-                               np.asarray(t_auto['conv1_w']),
-                               rtol=1e-2, atol=1e-4)
+    # Compare the UPDATE DELTAS, not the updated weights: an extra or
+    # missing psum scales the stem gradient by 8x, which a comparison of
+    # w - lr*grad against w can absorb when lr*grad << w.  (This exact
+    # masking hid a double-psum in the XLA-dW fallback until round 3.)
+    w0 = np.asarray(trainable['conv1_w'])
+    d_sm = np.asarray(t_sm['conv1_w']) - w0
+    d_auto = np.asarray(t_auto['conv1_w']) - w0
+    scale = np.abs(d_auto).max()
+    assert scale > 0
+    np.testing.assert_allclose(d_sm / scale, d_auto / scale, atol=5e-2)
