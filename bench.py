@@ -37,12 +37,20 @@ REFERENCE_CLIPS_PER_SEC_PER_GPU = 8.0
 BENCH_TIMEOUT_S = int(os.environ.get('LFB_BENCH_TIMEOUT_S', '900'))
 
 
+# Explicit armed-state flag, set only by main().  Inferring armedness from
+# ``signal.alarm(0)``'s return value silently disarms the watchdog when the
+# remaining time rounds to 0 (or the alarm just fired), and arms a stray
+# alarm in importers of this module (the SIGALRM leak that once killed the
+# test suite mid-run).
+_WATCHDOG_ARMED = False
+
+
 def _rearm_watchdog():
     """Reset the stall watchdog after a completed milestone (compile, timed
     loop).  The alarm bounds time WITHOUT PROGRESS, not total runtime: a
     cold remote-compile service can legitimately take several minutes per
     program, and the run must not be declared hung while it is advancing."""
-    if signal.alarm(0):
+    if _WATCHDOG_ARMED:
         signal.alarm(BENCH_TIMEOUT_S)
 
 
@@ -87,11 +95,10 @@ def run_with_retries(fn, attempts=3, backoff_s=20):
             print('# transient backend error (attempt {}/{}): {}; retrying '
                   'in {}s'.format(attempt + 1, attempts, e, backoff_s),
                   file=sys.stderr)
-            # Reset the watchdog for the retry.  _rearm_watchdog only re-arms
-            # when main()'s watchdog is actually pending: unconditionally
-            # arming here would leave a stray SIGALRM in importers of this
-            # module (e.g. the test suite), which the default handler later
-            # kills.
+            # Reset the watchdog for the retry.  _rearm_watchdog only arms
+            # when main() flagged the watchdog on: unconditionally arming
+            # here would leave a stray SIGALRM in importers of this module
+            # (e.g. the test suite), which the default handler later kills.
             _rearm_watchdog()
             time.sleep(backoff_s)
 
@@ -229,13 +236,16 @@ def _write_bench_frames(root: str, num_frames: int, h: int, w: int) -> str:
     return list_dir
 
 
-def bench_data(batch_clips: int, iters: int):
+def bench_data(batch_clips: int, iters: int, worker_counts=None):
     """``python bench.py data [B] [iters]``: host input-pipeline throughput.
 
     Synthetic 256x340 JPEGs on disk -> clip decode (native C++ threads vs
     cv2) -> full train preprocessing (scale jitter, crop, flip, normalize)
     -> jax.device_put.  The replaced reference pipeline is
     ``lib/datasets/dataloader.py:241-318`` (4 threads x 12-process pools).
+
+    ``python bench.py data --workers 1,2,4,8 [B] [iters]`` measures the
+    same pipeline at each loader worker count instead (scaling curve).
     """
     import jax
     from lfb_tpu.core.config import default_config, finalize
@@ -258,15 +268,13 @@ def bench_data(batch_clips: int, iters: int):
     cfg.NUM_GPUS = 1
     cfg = finalize(cfg)
 
-    results = {}
-    for label, use_native in (('native', True), ('cv2', False)):
+    def measure(use_native: bool, num_workers: int):
         native_loader.set_native_enabled(use_native)
         if use_native and not native_loader.native_available():
-            results[label] = None
-            continue
+            return None
         db = get_input_db(cfg, 'train')
-        loader = DataLoader(db, batch_clips, num_workers=8, prefetch=4,
-                            is_train=True)
+        loader = DataLoader(db, batch_clips, num_workers=num_workers,
+                            prefetch=4, is_train=True)
         it = loader.batches(iters + 1)
         jax.device_put(next(it)['data']).block_until_ready()   # warm
         t0 = time.perf_counter()
@@ -274,7 +282,34 @@ def bench_data(batch_clips: int, iters: int):
             jax.device_put(batch['data']).block_until_ready()
         dt = time.perf_counter() - t0
         loader.shutdown()
-        results[label] = round(batch_clips * iters / dt, 2)
+        return round(batch_clips * iters / dt, 2)
+
+    if worker_counts:
+        # Worker-scaling sweep: decode throughput vs loader thread count
+        # (cv2/native decode release the GIL, so threads scale with host
+        # cores; this makes the linear-scaling claim one command to verify
+        # on a multi-core host).
+        curve = {}
+        for n in worker_counts:
+            curve[str(n)] = {'native': measure(True, n),
+                             'cv2': measure(False, n)}
+            _rearm_watchdog()
+        native_loader.set_native_enabled(True)
+        best = max((v for row in curve.values() for v in row.values()
+                    if v is not None), default=0.0)
+        print(json.dumps({
+            'metric': 'data worker scaling (JPEG decode + train preprocess '
+                      '+ device_put, 32f@256x340->224, {} vCPU)'.format(
+                          os.cpu_count()),
+            'value': best, 'unit': 'clips/sec', 'vs_baseline': None,
+            'clips_per_sec_by_workers': curve,
+        }))
+        return
+
+    results = {}
+    for label, use_native in (('native', True), ('cv2', False)):
+        results[label] = measure(use_native, num_workers=8)
+        _rearm_watchdog()
     native_loader.set_native_enabled(True)
 
     value = results.get('native') or results.get('cv2') or 0.0
@@ -290,11 +325,19 @@ def bench_data(batch_clips: int, iters: int):
 
 
 def main():
+    global _WATCHDOG_ARMED
     signal.signal(signal.SIGALRM, _timeout_handler)
+    _WATCHDOG_ARMED = True
     signal.alarm(BENCH_TIMEOUT_S)
     if len(sys.argv) > 1 and sys.argv[1] == 'data':
-        bench_data(int(sys.argv[2]) if len(sys.argv) > 2 else 8,
-                   int(sys.argv[3]) if len(sys.argv) > 3 else 10)
+        rest = sys.argv[2:]
+        worker_counts = None
+        if rest and rest[0] == '--workers':
+            worker_counts = [int(n) for n in rest[1].split(',')]
+            rest = rest[2:]
+        bench_data(int(rest[0]) if rest else 8,
+                   int(rest[1]) if len(rest) > 1 else 10,
+                   worker_counts=worker_counts)
         return
     if len(sys.argv) > 1 and sys.argv[1] == 'train':
         run_with_retries(

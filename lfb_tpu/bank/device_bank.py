@@ -68,6 +68,16 @@ class AvaDeviceBank:
         if k_store <= 0:
             k_store = max([k] + [len(f) for secs in host_bank.values()
                                  for f in secs.values()])
+            # The auto width is set by the single largest (video, sec)
+            # entry, so one crowded keyframe inflates the whole
+            # num_videos x 3600 x k_store int32 table: make the choice and
+            # its cost visible (TPU.BANK_K_STORE > 0 is the explicit cap).
+            import logging
+            logging.getLogger(__name__).info(
+                'AvaDeviceBank: auto k_store=%d (largest per-(video, sec) '
+                'feature count); index table %d x %d x %d int32 = %.1f MiB',
+                k_store, num_videos, AVA_NUM_SECS, k_store,
+                num_videos * AVA_NUM_SECS * k_store * 4 / 2 ** 20)
         rows = []
         table = np.full((num_videos, AVA_NUM_SECS, k_store), -1, np.int32)
         counts = np.zeros((num_videos, AVA_NUM_SECS), np.int32)
