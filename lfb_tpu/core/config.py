@@ -272,7 +272,7 @@ def default_config() -> Config:
     # does not pay for the lost overlap.  Inference only; requires
     # MODEL.USE_AFFINE.
     c.TPU.PALLAS_BOTTLENECK = False
-    c.TPU.REMAT = 'stage'              # '', 'stage', or 'block' rematerialization
+    c.TPU.REMAT = 'stage'              # '', 'stage', 'res2', or 'block' remat
     # Run the per-iteration forward/backward as an explicit shard_map body
     # instead of auto-sharded jit.  Numerically identical (loss sums/counts
     # psum into the exact global mean) and lets the fused Pallas kernels run

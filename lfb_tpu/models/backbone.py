@@ -151,7 +151,11 @@ def backbone_forward(spec: ModelSpec, params: Params, x: jax.Array, *,
         fn = functools.partial(_stage_forward, spec, params, stage_i,
                                dilation=dilation, stride=stride, train=train,
                                bn_updates=bn_updates, remat_block=remat == 'block')
-        if remat == 'stage':
+        # 'res2' checkpoints only the first stage, whose activations
+        # dominate the training footprint (256ch x T x crop/4^2 -- 4x the
+        # bytes of any later stage): most of the memory win of 'stage' at a
+        # fraction of the recompute.
+        if remat == 'stage' or (remat == 'res2' and stage_i == 0):
             fn = jax.checkpoint(fn)
         return fn(h)
 

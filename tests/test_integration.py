@@ -334,3 +334,137 @@ def test_test_net_with_device_bank(tmp_path):
     metrics = test_net_mod.test_net(
         cfg, lfb=bank, output_dir=cfg.CHECKPOINT.DIR)
     assert 0.0 <= metrics['full_map'] <= 1.0
+
+
+def test_charades_two_stage_training(tmp_path):
+    """The reference's Charades recipe chained end-to-end
+    (``GETTING_STARTED.md`` + ``configs/charades_r50_lfb_nl.yaml``):
+    stage 1 trains a baseline; stage 2 extracts the LFB from the stage-1
+    checkpoint and finetunes with FREEZE_BACKBONE from TRAIN.PARAMS_FILE
+    (RESET_START_ITER; classifier skipped on the 2048 -> 2048+512 head-dim
+    change)."""
+    from lfb_tpu.bank import get_lfb
+    from lfb_tpu.train.trainer import Trainer
+
+    overrides = synthetic.build_charades(str(tmp_path))
+
+    # Stage 1: baseline (no LFB).
+    cfg1 = tiny_cfg(overrides)
+    cfg1.CHECKPOINT.DIR = str(tmp_path / 'stage1')
+    cfg1.SOLVER.MAX_ITER = 2
+    cfg1.CHECKPOINT.CHECKPOINT_PERIOD = 1000   # only the final ckpt
+    C.finalize(cfg1)
+    trainer1 = Trainer(cfg1)
+    stage1_ckpt = trainer1.train()
+    assert stage1_ckpt and os.path.isfile(stage1_ckpt)
+    conv1_stage1 = np.asarray(trainer1.params()['conv1_w']).copy()
+
+    # Stage 2: LFB from the stage-1 model, frozen-backbone finetune.
+    cfg2 = tiny_cfg(overrides)
+    cfg2.CHECKPOINT.DIR = str(tmp_path / 'stage2')
+    os.makedirs(cfg2.CHECKPOINT.DIR, exist_ok=True)
+    cfg2.LFB.ENABLED = True
+    cfg2.LFB.FBO_TYPE = 'nl'
+    cfg2.LFB.WINDOW_SIZE = 4
+    cfg2.MODEL.FREEZE_BACKBONE = True
+    cfg2.TRAIN.PARAMS_FILE = stage1_ckpt
+    cfg2.TRAIN.RESET_START_ITER = True
+    cfg2.SOLVER.MAX_ITER = 2
+    cfg2.SOLVER.BASE_LR = 0.05
+    C.finalize(cfg2)
+
+    val_lfb = get_lfb(cfg2, stage1_ckpt, is_train=False)
+    train_lfb = get_lfb(cfg2, stage1_ckpt, is_train=True)
+    assert len(val_lfb) == 2
+
+    trainer2 = Trainer(cfg2, train_lfb=train_lfb, test_lfb=val_lfb)
+    # PARAMS_FILE loaded with start-iter reset; backbone carries stage-1
+    # weights; the classifier (head dim 2048 -> 2560) was skipped.
+    assert trainer2.start_iter == 0
+    np.testing.assert_array_equal(np.asarray(trainer2.params()['conv1_w']),
+                                  conv1_stage1)
+    assert trainer2.params()['pred_w'].shape[0] == 2048 + cfg2.FBO_NL.LATENT_DIM
+
+    last = trainer2.train()
+    assert last and os.path.isfile(last)
+    params2 = trainer2.params()
+    # Backbone stays frozen at stage-1 values; the FBO trains (zero-init
+    # out conv becomes nonzero after its first update).
+    np.testing.assert_array_equal(np.asarray(params2['conv1_w']),
+                                  conv1_stage1)
+    assert np.any(np.asarray(params2['lfb_nl0_out_w']) != 0)
+
+
+def test_epic_noun_device_bank_and_action_combination(tmp_path):
+    """EPIC noun with an externally-supplied detector-feature bank through
+    FrameDeviceBank.build_noun (TPU.DEVICE_BANK), then the verb (x) noun
+    action combination through tools/evaluate_actions.py semantics
+    (reference ``GETTING_STARTED.md:89-100`` + ``tools/evaluate_actions.py``)."""
+    import pickle
+    from lfb_tpu.bank import get_lfb
+    from lfb_tpu.eval.epic_actions import evaluate_actions
+    from lfb_tpu.train.trainer import Trainer
+
+    root_n = str(tmp_path / 'noun')
+    overrides_n = synthetic.build_epic(root_n, class_type='noun')
+
+    cfg_n = tiny_cfg(overrides_n)
+    cfg_n.CHECKPOINT.DIR = str(tmp_path / 'out_noun')
+    os.makedirs(cfg_n.CHECKPOINT.DIR, exist_ok=True)
+    cfg_n.LFB.ENABLED = True
+    cfg_n.LFB.FBO_TYPE = 'max'
+    cfg_n.LFB.WINDOW_SIZE = 6
+    cfg_n.LFB.LOAD_LFB = True
+    cfg_n.LFB.LOAD_LFB_PATH = str(tmp_path / 'noun_lfb')
+    cfg_n.EPIC.MAX_NUM_FEATS_PER_NOUN_LFB_FRAME = 3
+    cfg_n.TPU.DEVICE_BANK = True
+    cfg_n.SOLVER.MAX_ITER = 1
+    cfg_n.TEST.DATASET_SIZE = 2
+    C.finalize(cfg_n)
+
+    # External (detector-produced) noun bank: {video_idx: {frame: (n, D)}}.
+    rng = np.random.RandomState(0)
+    os.makedirs(cfg_n.LFB.LOAD_LFB_PATH, exist_ok=True)
+    for name in ('train_lfb.pkl', 'val_lfb.pkl'):
+        bank = {v: {f: rng.randn(4, cfg_n.LFB.LFB_DIM).astype(np.float32)
+                    for f in range(0, 60, 15)} for v in range(2)}
+        with open(os.path.join(cfg_n.LFB.LOAD_LFB_PATH, name), 'wb') as fh:
+            pickle.dump(bank, fh, protocol=2)
+
+    val_lfb = get_lfb(cfg_n, '', is_train=False)
+    train_lfb = get_lfb(cfg_n, '', is_train=True)
+
+    trainer_n = Trainer(cfg_n, train_lfb=train_lfb, test_lfb=val_lfb)
+    # The dataset must have converted the host pickle to an HBM-resident
+    # FrameDeviceBank (noun layout: repeated frame ids, per-frame cap).
+    from lfb_tpu.bank.device_bank import FrameDeviceBank
+    assert isinstance(trainer_n.train_db.lfb, FrameDeviceBank)
+    trainer_n.train()
+    trainer_n.evaluate(name='final')
+    noun_file = os.path.join(cfg_n.CHECKPOINT.DIR,
+                             'epic_predictions_final.pkl')
+    assert os.path.isfile(noun_file)
+
+    # Verb model: baseline (no LFB) on its own copy of the dataset.
+    root_v = str(tmp_path / 'verb')
+    overrides_v = synthetic.build_epic(root_v, class_type='verb')
+    cfg_v = tiny_cfg(overrides_v)
+    cfg_v.CHECKPOINT.DIR = str(tmp_path / 'out_verb')
+    os.makedirs(cfg_v.CHECKPOINT.DIR, exist_ok=True)
+    cfg_v.SOLVER.MAX_ITER = 1
+    cfg_v.TEST.DATASET_SIZE = 2
+    C.finalize(cfg_v)
+    trainer_v = Trainer(cfg_v)
+    trainer_v.train()
+    trainer_v.evaluate(name='final')
+    verb_file = os.path.join(cfg_v.CHECKPOINT.DIR,
+                             'epic_predictions_final.pkl')
+    assert os.path.isfile(verb_file)
+
+    # Action combination: softmax outer product weighted by the train-set
+    # P(verb|noun) prior from the annotation CSV.
+    results = evaluate_actions(
+        verb_file, noun_file,
+        annotation_root=cfg_v.EPIC.ANNOTATION_DIR, num_seg=2)
+    for key in ('verb_top1', 'noun_top1', 'action_top1', 'action_top5'):
+        assert 0.0 <= results[key] <= 100.0, (key, results)

@@ -22,10 +22,14 @@ def main():
     parser.add_argument('--noun_file', type=str, required=True)
     parser.add_argument('--annotation_root', type=str,
                         default='data/epic/annotations')
+    parser.add_argument('--num_seg', type=int, default=None,
+                        help='Validation segment count (default: the '
+                             'official 5,281; override for subsets)')
     args = parser.parse_args()
 
-    from lfb_tpu.eval.epic_actions import evaluate_actions
-    evaluate_actions(args.verb_file, args.noun_file, args.annotation_root)
+    from lfb_tpu.eval.epic_actions import NUM_TEST_SEG, evaluate_actions
+    evaluate_actions(args.verb_file, args.noun_file, args.annotation_root,
+                     num_seg=args.num_seg or NUM_TEST_SEG)
 
 
 if __name__ == '__main__':
