@@ -55,14 +55,25 @@ except Exception:  # pragma: no cover
 
 from lfb_tpu.ops.pallas_common import out_struct
 
-_HB = 16          # output rows per block
+_HB = 16          # minimum output rows per block (envelope requirement)
 _LANES = 128      # padded s2d width (wp + 3 halo <= 128)
 _C = 16           # s2d channels (4 * Cin(3), zero-padded to 16)
 _DH = 4           # s2d kernel taps (7-tap stride-2 -> 4 taps, one zero pad)
 _DW = 4
 
 
-def _ring_window_and_a_matrix(x_hbm, xs, a_ref, sem, *, kt: int):
+def _pick_hb(hp: int) -> int:
+    """Output rows per block: the biggest of 64/32/16 dividing hp.  Larger
+    blocks mean fewer programs and a taller M per MXU pass (measured on
+    v5e, serialized A/B: 23.2 / 22.9 / 22.1 ms isolated at B=16 crop 256
+    for hb 16 / 32 / 64), bounded by VMEM (the A matrix is K x hb*128)."""
+    for hb in (64, 32, 16):
+        if hp % hb == 0:
+            return hb
+    return _HB
+
+
+def _ring_window_and_a_matrix(x_hbm, xs, a_ref, sem, *, kt: int, hb: int):
     """Shared by the forward and dW kernels: advance the rolling temporal
     input window and build this block's A matrix.
 
@@ -76,7 +87,7 @@ def _ring_window_and_a_matrix(x_hbm, xs, a_ref, sem, *, kt: int):
     t = pl.program_id(1)
     blk = pl.program_id(2)
     T = pl.num_programs(1)
-    blk_l = _HB * _LANES
+    blk_l = hb * _LANES
     S = kt + 1   # ring slots: kt live taps + 1 in-flight prefetch
 
     def fetch(slice_idx, slot):
@@ -106,16 +117,16 @@ def _ring_window_and_a_matrix(x_hbm, xs, a_ref, sem, *, kt: int):
     for s in range(kt):
         slot = jax.lax.rem(t + s, S)
         for dh in range(_DH):
-            start = (blk * _HB + dh) * _LANES
+            start = (blk * hb + dh) * _LANES
             a_ref[row * _C:(row + 1) * _C, :] = xs[
                 slot, :, pl.dslice(start, blk_l)]
             row += 1
 
 
 def _stem_kernel(x_hbm, w_ref, o_ref, xs, a_ref, sem, *, kt: int,
-                 nblk: int):
-    blk_l = _HB * _LANES
-    _ring_window_and_a_matrix(x_hbm, xs, a_ref, sem, kt=kt)
+                 nblk: int, hb: int):
+    blk_l = hb * _LANES
+    _ring_window_and_a_matrix(x_hbm, xs, a_ref, sem, kt=kt, hb=hb)
     # (K, M)^T x (K, 4*64): all dw taps in one MXU pass, channels-last.
     # f32 operands get true-f32 MXU passes (default TPU f32 dots round
     # through bf16); Mosaic rejects the HIGHEST hint on bf16 operands.
@@ -215,9 +226,10 @@ def stem_conv_s2d(x: jax.Array, w: jax.Array, *, temporal_pad: int,
     xt = _pack_x(x, temporal_pad, compute_dtype)
     w4 = _pack_w(w, compute_dtype)
 
-    nblk = hp // _HB
+    hb = _pick_hb(hp)
+    nblk = hp // hb
     K = kt * _DH * _C
-    kernel = functools.partial(_stem_kernel, kt=kt, nblk=nblk)
+    kernel = functools.partial(_stem_kernel, kt=kt, nblk=nblk, hb=hb)
     out = pl.pallas_call(
         kernel,
         grid=(B, T, nblk),
@@ -225,15 +237,17 @@ def stem_conv_s2d(x: jax.Array, w: jax.Array, *, temporal_pad: int,
             pl.BlockSpec(memory_space=pltpu.ANY),     # xt stays in HBM
             pl.BlockSpec((K, _DW * cout), lambda b, t, r: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, _HB * _LANES, cout),
+        out_specs=pl.BlockSpec((1, 1, 1, hb * _LANES, cout),
                                lambda b, t, r: (b, t, r, 0, 0)),
         out_shape=out_struct(
-            (B, T, nblk, _HB * _LANES, cout), compute_dtype, x),
+            (B, T, nblk, hb * _LANES, cout), compute_dtype, x),
         scratch_shapes=[
             pltpu.VMEM((kt + 1, _C, hp2 * _LANES), compute_dtype),
-            pltpu.VMEM((K, _HB * _LANES), compute_dtype),
+            pltpu.VMEM((K, hb * _LANES), compute_dtype),
             pltpu.SemaphoreType.DMA((kt + 1,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2 ** 20),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * T * hp * _LANES * K * _DW * cout,
             # Rolling window: each padded input slice is DMA'd once.
@@ -253,7 +267,7 @@ def stem_conv_s2d(x: jax.Array, w: jax.Array, *, temporal_pad: int,
 # --------------------------------------------------------------------------- #
 
 def _stem_dw_kernel(x_hbm, g_ref, dw_ref, xs, a_ref, do4, sem, *, kt: int,
-                    cout: int):
+                    cout: int, hb: int):
     """dW = sum over (b, t, blk) of A_blk @ dO4_blk.
 
     Reuses the forward kernel's rolling-window DMA and A-matrix build; the
@@ -265,9 +279,9 @@ def _stem_dw_kernel(x_hbm, g_ref, dw_ref, xs, a_ref, do4, sem, *, kt: int,
     b = pl.program_id(0)
     t = pl.program_id(1)
     blk = pl.program_id(2)
-    blk_l = _HB * _LANES
+    blk_l = hb * _LANES
 
-    _ring_window_and_a_matrix(x_hbm, xs, a_ref, sem, kt=kt)
+    _ring_window_and_a_matrix(x_hbm, xs, a_ref, sem, kt=kt, hb=hb)
 
     first = jnp.logical_and(b == 0, jnp.logical_and(t == 0, blk == 0))
     @pl.when(first)
@@ -322,27 +336,34 @@ def stem_conv_s2d_dw(x: jax.Array, g: jax.Array, w_shape, *,
     # with zeros; they correspond to cropped columns and carry no gradient).
     g4 = jnp.pad(g.astype(compute_dtype),
                  ((0, 0), (0, 0), (0, 0), (0, _LANES - wp), (0, 0)))
-    nblk = hp // _HB
-    g4 = g4.reshape(B, T, nblk, _HB * _LANES, cout)
+    hb = _pick_hb(hp)
+    if jnp.dtype(compute_dtype).itemsize >= 4 and hb > 32:
+        # f32 scratch (A + do4 + g blocks) at hb=64 exceeds total VMEM
+        # (measured 132.5M of 128M); halve the block.
+        hb = 32
+    nblk = hp // hb
+    g4 = g4.reshape(B, T, nblk, hb * _LANES, cout)
 
     K = kt * _DH * _C
-    kernel = functools.partial(_stem_dw_kernel, kt=kt, cout=cout)
+    kernel = functools.partial(_stem_dw_kernel, kt=kt, cout=cout, hb=hb)
     dw4 = pl.pallas_call(
         kernel,
         grid=(B, T, nblk),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),     # xt stays in HBM
-            pl.BlockSpec((1, 1, 1, _HB * _LANES, cout),
+            pl.BlockSpec((1, 1, 1, hb * _LANES, cout),
                          lambda b, t, r: (b, t, r, 0, 0)),
         ],
         out_specs=pl.BlockSpec((K, _DW * cout), lambda b, t, r: (0, 0)),
         out_shape=out_struct((K, _DW * cout), jnp.float32, x),
         scratch_shapes=[
             pltpu.VMEM((kt + 1, _C, hp2 * _LANES), compute_dtype),
-            pltpu.VMEM((K, _HB * _LANES), compute_dtype),
-            pltpu.VMEM((_HB * _LANES, _DW * cout), compute_dtype),
+            pltpu.VMEM((K, hb * _LANES), compute_dtype),
+            pltpu.VMEM((hb * _LANES, _DW * cout), compute_dtype),
             pltpu.SemaphoreType.DMA((kt + 1,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2 ** 20),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * T * hp * _LANES * K * _DW * cout,
             bytes_accessed=B * ((T + 2 * temporal_pad) * _C * hp2 * _LANES
