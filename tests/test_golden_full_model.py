@@ -89,6 +89,11 @@ C2D_ARC_KT = {    # reference arc_type == 1: no temporal convs anywhere
     'res2': [1, 1, 1], 'res3': [1] * 4, 'res4': [1] * 6, 'res5': [1] * 3,
 }
 
+C2D_R101_ARC_KT = {    # reference arc_type == 3: C2D with a 23-block res4
+    'conv1': 1,
+    'res2': [1, 1, 1], 'res3': [1] * 4, 'res4': [1] * 23, 'res5': [1] * 3,
+}
+
 
 class TorchRef:
     """Reference-semantics model over the shared flat param dict."""
@@ -358,6 +363,40 @@ def test_full_model_c2d_arc_matches_torch_reference():
         'data': jnp.asarray(data), 'lfb': jnp.asarray(lfb)}, train=False)
     ref_logits = TorchRef(params, arc_kt=C2D_ARC_KT).forward(
         data, lfb, T).numpy()
+    np.testing.assert_allclose(np.asarray(out['logits']), ref_logits,
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_full_model_c2d_r101_arc_matches_torch_reference():
+    """C2D-R101 arc (VIDEO_ARC_CHOICE=3: no temporal convs, 23-block res4,
+    R101 NL placement) through the same independent torch reference
+    (reference resnet_video.py:80-93).  With arcs 1/2/4 covered above this
+    completes numeric goldens for all four reference arc choices."""
+    cfg = make_cfg(**{'MODEL.VIDEO_ARC_CHOICE': 3, 'MODEL.DEPTH': 101})
+    spec = build_spec(cfg, 'val')
+    rng = np.random.RandomState(11)
+
+    params = init_params(jax.random.PRNGKey(0), spec)
+    params = {
+        k: jnp.asarray(rng.randn(*v.shape).astype('f')
+                       * (0.5 / np.sqrt(max(1, v.shape[-2]
+                                            if v.ndim > 1 else 1))))
+        for k, v in params.items()
+    }
+    assert params['conv1_w'].shape[0] == 1          # C2D stem has kT=1
+    assert params['res4_22_branch2a_w'].shape[0] == 1   # no temporal convs
+    assert 'nonlocal_conv4_20_theta_w' in params        # mod-7 placement
+    assert 'nonlocal_conv4_5_theta_w' not in params     # not R50 placement
+
+    B, T, crop, W = 2, 16, 32, 4
+    data = rng.randn(B, T, crop, crop, 3).astype('f') * 0.5
+    lfb = rng.randn(B, W, 2048).astype('f') * 0.5
+
+    out = forward(spec, params, {
+        'data': jnp.asarray(data), 'lfb': jnp.asarray(lfb)}, train=False)
+    ref = TorchRef(params, arc_kt=C2D_R101_ARC_KT, stages=R101_STAGES,
+                   nl_at=R101_NL_AT)
+    ref_logits = ref.forward(data, lfb, T).numpy()
     np.testing.assert_allclose(np.asarray(out['logits']), ref_logits,
                                rtol=2e-3, atol=2e-3)
 
