@@ -186,3 +186,65 @@ def test_flops_cost_analysis_and_hlo_dump(tmp_path):
     path = save_hlo_text(fn, str(tmp_path / 'model.hlo'), params, x)
     text = open(path).read()
     assert 'HloModule' in text or 'ENTRY' in text
+
+
+def test_remat_modes_are_numerics_preserving():
+    """TPU.REMAT '', 'res2', and 'stage' run the same math -- jax.checkpoint
+    only changes what is recomputed in the backward pass, so one train step
+    must produce identical losses and updated params across modes."""
+    from lfb_tpu.models import build_spec, init_params
+    from lfb_tpu.models.model import frozen_param_names
+    from lfb_tpu.parallel import create_mesh, shard_batch
+    from lfb_tpu.train import optimizer as opt
+    from lfb_tpu.train.steps import make_train_step, split_params
+
+    def make_cfg(remat):
+        cfg = C.default_config()
+        cfg.DATASET = 'epic'
+        cfg.MODEL.NUM_CLASSES = 5
+        cfg.MODEL.MULTI_LABEL = False
+        cfg.MODEL.USE_AFFINE = True
+        cfg.NONLOCAL.USE_BN = False
+        cfg.NONLOCAL.USE_AFFINE = True
+        cfg.TRAIN.VIDEO_LENGTH = cfg.TEST.VIDEO_LENGTH = 8
+        cfg.TRAIN.CROP_SIZE = cfg.TEST.CROP_SIZE = 32
+        cfg.NUM_GPUS = 1
+        cfg.TRAIN.BATCH_SIZE = cfg.TEST.BATCH_SIZE = 2
+        cfg.TRAIN.DROPOUT_RATE = 0.0
+        cfg.TPU.COMPUTE_DTYPE = 'float32'
+        cfg.TPU.USE_PALLAS = False
+        cfg.TPU.REMAT = remat
+        return C.finalize(cfg)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        'data': 0.1 * rng.randn(2, 8, 32, 32, 3).astype(np.float32),
+        'labels': np.array([0, 1], np.int32),
+    }
+    mesh = create_mesh(1)
+
+    results = {}
+    for remat in ('', 'res2', 'stage'):
+        cfg = make_cfg(remat)
+        spec = build_spec(cfg, 'train')
+        assert spec.remat == remat
+        params = init_params(jax.random.PRNGKey(0), spec)
+        trainable, frozen = split_params(spec, params)
+        mstate = opt.init_state(params, frozen_param_names(spec, params))
+        step = make_train_step(spec, cfg.SOLVER, mesh)
+        trainable, frozen, mstate, aux = step(
+            trainable, frozen, mstate, shard_batch(mesh, batch),
+            jax.random.PRNGKey(0), jnp.float32(0.01))
+        results[remat] = (float(aux['loss']),
+                          np.asarray(trainable['conv1_w']),
+                          np.asarray(trainable['pred_w']))
+
+    ref_loss, ref_conv1, ref_pred = results['']
+    for remat in ('res2', 'stage'):
+        loss, conv1, pred = results[remat]
+        assert abs(loss - ref_loss) <= 1e-6 * max(1.0, abs(ref_loss)), (
+            remat, ref_loss, loss)
+        np.testing.assert_allclose(conv1, ref_conv1, rtol=1e-6, atol=1e-7,
+                                   err_msg=remat)
+        np.testing.assert_allclose(pred, ref_pred, rtol=1e-6, atol=1e-7,
+                                   err_msg=remat)
