@@ -296,31 +296,37 @@ def build_device_bank(cfg, host_bank: Dict, video_name_to_idx=None):
 
     EPIC noun banks (multi-feature detector frames, ``epic.py:338-374``)
     flatten into repeated frame ids via :meth:`FrameDeviceBank.build_noun`.
+
+    ``TPU.BANK_DTYPE 'bfloat16'`` stores the feature rows in bf16, halving
+    bank HBM; the index tables stay int32 and the host pickle interchange
+    stays float32.
     """
+    dtype = {'float32': jnp.float32,
+             'bfloat16': jnp.bfloat16}[cfg.TPU.BANK_DTYPE]
     if cfg.DATASET == 'ava':
         return AvaDeviceBank.build(
             host_bank, window_size=cfg.LFB.WINDOW_SIZE,
             k=cfg.AVA.LFB_MAX_NUM_FEAT_PER_STEP, lfb_dim=cfg.LFB.LFB_DIM,
-            k_store=cfg.TPU.BANK_K_STORE)
+            k_store=cfg.TPU.BANK_K_STORE, dtype=dtype)
     if cfg.DATASET == 'charades':
         return FrameDeviceBank.build(
             host_bank, window_size=cfg.LFB.WINDOW_SIZE,
             lfb_dim=cfg.LFB.LFB_DIM, window_mode='charades',
             fps=cfg.CHARADES.FPS,
-            clips_per_second=cfg.CHARADES.LFB_CLIPS_PER_SECOND)
+            clips_per_second=cfg.CHARADES.LFB_CLIPS_PER_SECOND, dtype=dtype)
     if cfg.DATASET == 'epic':
         if cfg.EPIC.CLASS_TYPE == 'noun':
             return FrameDeviceBank.build_noun(
                 host_bank, window_size=cfg.LFB.WINDOW_SIZE,
                 max_per_frame=cfg.EPIC.MAX_NUM_FEATS_PER_NOUN_LFB_FRAME,
                 frames_per_second=cfg.EPIC.NOUN_LFB_FRAMES_PER_SECOND,
-                fps=cfg.EPIC.FPS, lfb_dim=cfg.LFB.LFB_DIM)
+                fps=cfg.EPIC.FPS, lfb_dim=cfg.LFB.LFB_DIM, dtype=dtype)
         assert video_name_to_idx is not None, \
             'EPIC verb banks are keyed by video name'
         return FrameDeviceBank.build(
             host_bank, video_name_to_idx, window_size=cfg.LFB.WINDOW_SIZE,
             lfb_dim=cfg.LFB.LFB_DIM, window_mode='epic_verb',
-            fps=cfg.EPIC.FPS)
+            fps=cfg.EPIC.FPS, dtype=dtype)
     raise ValueError(cfg.DATASET)
 
 

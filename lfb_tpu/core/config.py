@@ -295,6 +295,11 @@ def default_config() -> Config:
     # (``ava.py:300-323``).  A positive value bounds table memory; overflow
     # entries are uniformly subsampled once at bank-build time.
     c.TPU.BANK_K_STORE = 0
+    # Storage dtype for the HBM-resident device bank ('float32' or
+    # 'bfloat16').  bfloat16 halves bank HBM (AVA: 3.3 GB -> 1.65 GB,
+    # reference GETTING_STARTED.md:45) and matches the default bf16 FBO
+    # compute dtype; the host pickle interchange stays float32 either way.
+    c.TPU.BANK_DTYPE = 'float32'
     # Fixed-shape padding cap for AVA boxes (XLA needs static shapes; the
     # reference ships ragged per-box rows instead).  Keyframes with more
     # boxes than this are truncated with a warning.

@@ -242,3 +242,49 @@ def test_ava_device_bank_explicit_k_store_subsamples_uniformly():
     assert int(dev.counts[0, 0]) == ks
     stored = {int(v) for v in np.asarray(dev.feats)[:-1, 0]}
     assert len(stored) == ks and stored <= set(range(1, n + 1))
+
+
+def test_bank_dtype_bfloat16_halves_storage_and_preserves_gather():
+    """TPU.BANK_DTYPE 'bfloat16' stores feature rows in bf16 (index tables
+    stay int32); gathers match the float32 bank to bf16 rounding."""
+    from lfb_tpu.core import config as C
+    from lfb_tpu.bank.device_bank import build_device_bank
+
+    def cfg_for(dtype):
+        cfg = C.default_config()
+        cfg.DATASET = 'ava'
+        cfg.LFB.WINDOW_SIZE = 3
+        cfg.LFB.LFB_DIM = 8
+        cfg.AVA.LFB_MAX_NUM_FEAT_PER_STEP = 2
+        cfg.TPU.BANK_DTYPE = dtype
+        return C.finalize(cfg)
+
+    bank = make_ava_bank()
+    dev32 = build_device_bank(cfg_for('float32'), bank)
+    dev16 = build_device_bank(cfg_for('bfloat16'), bank)
+    assert dev32.feats.dtype == jnp.float32
+    assert dev16.feats.dtype == jnp.bfloat16
+    assert dev16.table.dtype == jnp.int32
+    assert dev16.feats.nbytes * 2 == dev32.feats.nbytes
+
+    video = jnp.array([0, 1])
+    sec = jnp.array([905, 905])
+    key = jax.random.PRNGKey(0)
+    out32 = dev32.gather(video, sec, key)
+    out16 = dev16.gather(video, sec, key)
+    assert out16.dtype == jnp.bfloat16
+    # Same rows drawn (same seed/table); values equal to bf16 rounding.
+    np.testing.assert_allclose(np.asarray(out16, np.float32),
+                               np.asarray(out32), rtol=1e-2, atol=1e-2)
+
+    # Frame-level route too (charades): dtype flows through.
+    cfg_c = C.default_config()
+    cfg_c.DATASET = 'charades'
+    cfg_c.LFB.WINDOW_SIZE = 4
+    cfg_c.LFB.LFB_DIM = 8
+    cfg_c.TPU.BANK_DTYPE = 'bfloat16'
+    cfg_c = C.finalize(cfg_c)
+    rng = np.random.RandomState(1)
+    fbank = {0: {f: rng.randn(8).astype(np.float32) for f in range(0, 48, 12)}}
+    devc = build_device_bank(cfg_c, fbank)
+    assert devc.feats.dtype == jnp.bfloat16
