@@ -468,3 +468,52 @@ def test_epic_noun_device_bank_and_action_combination(tmp_path):
         annotation_root=cfg_v.EPIC.ANNOTATION_DIR, num_seg=2)
     for key in ('verb_top1', 'noun_top1', 'action_top1', 'action_top5'):
         assert 0.0 <= results[key] <= 100.0, (key, results)
+
+
+def test_ava_multicrop_with_device_bank(tmp_path):
+    """The combined protocol: multi-crop orchestration (2 flips x 1 scale x
+    3 shifts) with per-(flip,scale) bank re-inference AND the HBM-resident
+    device bank (TPU.DEVICE_BANK) -- the CPU mirror of the on-TPU probe
+    recorded in PARITY.md (reference ``test_net.py:61-87``)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
+    import test_net as test_net_mod
+
+    cfg = tiny_cfg(synthetic.build_ava(str(tmp_path)))
+    cfg.CHECKPOINT.DIR = str(tmp_path / 'out')
+    os.makedirs(cfg.CHECKPOINT.DIR, exist_ok=True)
+    cfg.AVA.TEST_MULTI_CROP = True
+    cfg.AVA.TEST_MULTI_CROP_SCALES = [36]
+    cfg.TEST.SCALE = 36
+    cfg.TEST.CROP_SIZE = 32
+    cfg.LFB.ENABLED = True
+    cfg.LFB.FBO_TYPE = 'nl'
+    cfg.LFB.WINDOW_SIZE = 3
+    cfg.TPU.DEVICE_BANK = True
+    C.finalize(cfg)
+
+    from lfb_tpu.models import build_spec, init_params
+    from lfb_tpu.train import checkpoints as ckpt
+    base_spec = build_spec(cfg, 'val', lfb_infer_only=True)
+    base_params = {k: np.asarray(v) for k, v in init_params(
+        jax.random.PRNGKey(0), base_spec).items()}
+    base_file = str(tmp_path / 'baseline.pkl')
+    ckpt.save_params(base_file, base_params, model_iter=0, lr=0.01)
+    cfg.LFB.MODEL_PARAMS_FILE = base_file
+
+    spec = build_spec(cfg, 'val')
+    params = {k: np.asarray(v) for k, v in init_params(
+        jax.random.PRNGKey(1), spec).items()}
+    model_file = str(tmp_path / 'model.pkl')
+    ckpt.save_params(model_file, params, model_iter=0, lr=0.01)
+    cfg.TEST.PARAMS_FILE = model_file
+
+    out_dir = str(tmp_path / 'mc')
+    os.makedirs(out_dir, exist_ok=True)
+    final_map = test_net_mod.test_net(cfg, output_dir=out_dir)
+
+    files = sorted(os.listdir(out_dir))
+    shifts = [f for f in files if 'shift' in f]
+    assert len(shifts) == 6, files
+    assert 'final_multi_crop_testing_results.csv' in files
+    assert final_map is not None and 0.0 <= final_map <= 1.0
