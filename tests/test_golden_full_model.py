@@ -99,12 +99,22 @@ class TorchRef:
     """Reference-semantics model over the shared flat param dict."""
 
     def __init__(self, params, arc_kt=None, stages=None, nl_at=None,
-                 fbo_layers=2):
+                 fbo_layers=2, fbo_type='nl'):
         self.p = {k: np.asarray(v) for k, v in params.items()}
         self.arc_kt = arc_kt or ARC_KT
         self.stages = stages or STAGES
         self.nl_at = NL_AT if nl_at is None else nl_at
         self.fbo_layers = fbo_layers
+        self.fbo_type = fbo_type
+
+    def fbo(self, clip, lfb, reduc_name):
+        # avg/max FBOs: window pooling over NCT11 incl. zero-padded rows
+        # (reference lfb_helper.py:106-127); 'nl' is the attention stack.
+        if self.fbo_type == 'avg':
+            return tt(lfb).mean(dim=1)
+        if self.fbo_type == 'max':
+            return tt(lfb).max(dim=1).values
+        return self.fbo_nl(clip, lfb, reduc_name)
 
     def affine(self, x, name):
         s = tt(self.p[name + '_s']).view(1, -1, 1, 1, 1)
@@ -239,7 +249,7 @@ class TorchRef:
             x, (pool_stride, x.shape[-2], x.shape[-1]))
         clip = pooled.reshape(pooled.shape[0], -1)    # (B, 2048)
 
-        a = self.fbo_nl(clip, lfb, 'res5_2_branch2c_bn_pooled_fbonl_reduc')
+        a = self.fbo(clip, lfb, 'res5_2_branch2c_bn_pooled_fbonl_reduc')
         head = torch.cat([clip, a], dim=1)            # (B, 2048 + L)
         logits = head @ tt(self.p['pred_w']) + tt(self.p['pred_b'])
         return logits
@@ -258,7 +268,7 @@ class TorchRef:
                                7, 1.0 / 16.0)         # (N, 7, 7, 2048)
         clip = torch.tensor(roi.max(axis=(1, 2)))     # (N, 2048) 7x7 maxpool
 
-        a = self.fbo_nl(clip, lfb, 'box_pooled_fbonl_reduc')
+        a = self.fbo(clip, lfb, 'box_pooled_fbonl_reduc')
         head = torch.cat([clip, a], dim=1)
         logits = head @ tt(self.p['pred_w']) + tt(self.p['pred_b'])
         return logits
@@ -620,3 +630,36 @@ def test_full_model_golden_through_convert_model_import(tmp_path):
     ref_logits = TorchRef(params).forward(data, lfb, T).numpy()
     np.testing.assert_allclose(np.asarray(out['logits']), ref_logits,
                                rtol=2e-3, atol=2e-3)
+
+
+def test_full_model_fbo_avg_and_max_match_torch_reference():
+    """FBO-avg and FBO-max (pure window pooling incl. zero-padded rows,
+    reference lfb_helper.py:106-127) through the whole model: with the NL
+    goldens above this covers all three FBO types numerically."""
+    for fbo_type in ('avg', 'max'):
+        cfg = make_cfg(**{'LFB.FBO_TYPE': fbo_type})
+        spec = build_spec(cfg, 'val')
+        rng = np.random.RandomState(13)
+
+        params = init_params(jax.random.PRNGKey(0), spec)
+        params = {
+            k: jnp.asarray(rng.randn(*v.shape).astype('f')
+                           * (0.5 / np.sqrt(max(1, v.shape[-2]
+                                                if v.ndim > 1 else 1))))
+            for k, v in params.items()
+        }
+        # avg/max concat the raw 2048-d bank summary: pred_w is 4096-wide.
+        assert params['pred_w'].shape[0] == 4096
+
+        B, T, crop, W = 2, 16, 32, 4
+        data = rng.randn(B, T, crop, crop, 3).astype('f') * 0.5
+        lfb = rng.randn(B, W, 2048).astype('f') * 0.5
+        lfb[1, W // 2:] = 0.0    # zero-padded rows participate in pooling
+
+        out = forward(spec, params, {
+            'data': jnp.asarray(data), 'lfb': jnp.asarray(lfb)}, train=False)
+        ref = TorchRef(params, fbo_type=fbo_type)
+        ref_logits = ref.forward(data, lfb, T).numpy()
+        np.testing.assert_allclose(np.asarray(out['logits']), ref_logits,
+                                   rtol=2e-3, atol=2e-3,
+                                   err_msg=fbo_type)
