@@ -333,7 +333,12 @@ def main():
         rest = sys.argv[2:]
         worker_counts = None
         if rest and rest[0] == '--workers':
-            worker_counts = [int(n) for n in rest[1].split(',')]
+            try:
+                worker_counts = [int(n) for n in rest[1].split(',')]
+            except (IndexError, ValueError):
+                print('usage: bench.py data [--workers N1,N2,...] '
+                      '[batch] [iters]', file=sys.stderr)
+                sys.exit(2)
             rest = rest[2:]
         bench_data(int(rest[0]) if rest else 8,
                    int(rest[1]) if len(rest) > 1 else 10,

@@ -381,6 +381,9 @@ def finalize(cfg: Config) -> Config:
         'Train batch size should be multiple of num devices.'
     assert cfg.TEST.BATCH_SIZE % cfg.NUM_GPUS == 0, \
         'Test batch size should be multiple of num devices.'
+    assert cfg.TPU.BANK_DTYPE in ('float32', 'bfloat16'), \
+        "TPU.BANK_DTYPE must be 'float32' or 'bfloat16', got {!r}".format(
+            cfg.TPU.BANK_DTYPE)
     # Only used by AVA: total bank-window entries per example.
     cfg.LFB.NUM_LFB_FEAT = (
         cfg.AVA.LFB_MAX_NUM_FEAT_PER_STEP * cfg.LFB.WINDOW_SIZE)

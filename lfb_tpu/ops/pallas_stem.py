@@ -227,6 +227,11 @@ def stem_conv_s2d(x: jax.Array, w: jax.Array, *, temporal_pad: int,
     w4 = _pack_w(w, compute_dtype)
 
     hb = _pick_hb(hp)
+    if jnp.dtype(compute_dtype).itemsize >= 4 and hb > 32:
+        # f32 at hb=64 overflows scoped VMEM (measured on v5e: 69.6M of
+        # the 64M stack limit at crop 256); halve the block like the dW
+        # kernel does.
+        hb = 32
     nblk = hp // hb
     K = kt * _DH * _C
     kernel = functools.partial(_stem_kernel, kt=kt, nblk=nblk, hb=hb)

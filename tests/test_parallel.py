@@ -179,29 +179,20 @@ def test_shard_map_eval_ava_localizes_proposals(eight_devices):
                                rtol=1e-4, atol=1e-5)
 
 
-def test_shard_map_train_with_custom_vjp_stem(eight_devices, monkeypatch):
+def test_shard_map_train_with_custom_vjp_stem(eight_devices, request):
     """Regression: the Pallas stem's custom VJP must psum its weight
     cotangent inside a shard_map body.  conv1_w is replicated
     (device-invariant); without the psum, shard_map's check_vma typing
     rejects the device-varying gradient at trace time ("out_specs which
     require replication which can't be statically inferred").  Pallas is
     TPU-gated in CI, so this runs the real custom-VJP path with the kernel
-    in interpret mode."""
-    from jax.experimental import pallas as pl
-    from lfb_tpu.models import backbone as backbone_mod
-    from lfb_tpu.ops import pallas_stem
-
-    orig = pl.pallas_call
-    monkeypatch.setattr(pl, 'pallas_call',
-                        lambda *a, **k: orig(*a, interpret=True, **k))
-    monkeypatch.setattr(backbone_mod, 'pallas_ok', lambda spec, e=None: True)
-    # The dW kernel's accumulated output block trips a Pallas
-    # hlo_interpreter limitation under check_vma ("dynamic_slice requires
-    # varying manual axes to match"); on real Mosaic it compiles and runs
-    # (tpu_smoke check 5).  Fall back to the XLA grad-weights conv here --
-    # the psum under test applies to the dW cotangent either way.
-    monkeypatch.setattr(pallas_stem, 'stem_conv_s2d_dw',
-                        lambda *a, **k: None)
+    in interpret mode (shared recipe: lfb_tpu.utils.pallas_interpret,
+    which also documents the dW-kernel hlo-interpreter fallback)."""
+    from lfb_tpu.utils.pallas_interpret import force_pallas_interpret
+    import contextlib
+    stack = contextlib.ExitStack()
+    stack.enter_context(force_pallas_interpret())
+    request.addfinalizer(stack.close)   # unpatch at test teardown
 
     cfg = small_cfg()
     # Stem-kernel envelope needs crop >= 64 (H/2 % 16 == 0); keep T tiny.

@@ -29,7 +29,8 @@ def main():
 
     from lfb_tpu.eval.epic_actions import NUM_TEST_SEG, evaluate_actions
     evaluate_actions(args.verb_file, args.noun_file, args.annotation_root,
-                     num_seg=args.num_seg or NUM_TEST_SEG)
+                     num_seg=(args.num_seg if args.num_seg is not None
+                              else NUM_TEST_SEG))
 
 
 if __name__ == '__main__':
