@@ -271,10 +271,19 @@ class TorchRef:
         pool_stride = video_length // 2
         fmap = torch.nn.functional.avg_pool3d(
             x, (pool_stride, 1, 1)).squeeze(2)        # (B, 2048, h, w)
-        feats_nhwc = fmap.permute(0, 2, 3, 1).numpy()
-        roi = roi_align_scalar(feats_nhwc, np.asarray(proposals, np.float32),
-                               7, 1.0 / 16.0)         # (N, 7, 7, 2048)
-        clip = torch.tensor(roi.max(axis=(1, 2)))     # (N, 2048) 7x7 maxpool
+        feats_nhwc = fmap.permute(0, 2, 3, 1)
+        if feats_nhwc.requires_grad:
+            # Differentiable path: roi_align_scalar is the torch
+            # transcription and gradients flow through the gathers.
+            roi = roi_align_scalar(feats_nhwc,
+                                   np.asarray(proposals, np.float32),
+                                   7, 1.0 / 16.0)     # (N, 7, 7, 2048)
+            clip = roi.amax(dim=(1, 2))               # (N, 2048) 7x7 maxpool
+        else:
+            roi = roi_align_scalar(feats_nhwc.numpy(),
+                                   np.asarray(proposals, np.float32),
+                                   7, 1.0 / 16.0)
+            clip = torch.tensor(roi.max(axis=(1, 2)))
 
         a = self.fbo(clip, lfb, 'box_pooled_fbonl_reduc')
         head = torch.cat([clip, a], dim=1)
@@ -709,6 +718,135 @@ def test_full_model_gradients_match_torch_reference():
         checked += 1
     # Every trainable tensor was compared (backbone convs, NL convs, FBO
     # projections, classifier) -- not just a token few.
+    assert checked > 100, checked
+
+
+def _roi_align_scalar_torch(feats, rois, pooled, scale):
+    """Differentiable torch transcription of legacy (aligned=False) RoIAlign
+    with sampling_ratio=0 adaptive gridding -- same math as
+    ``tests.test_ops._roi_align_scalar``; coordinate logic stays in Python
+    floats (RoIAlign has no box gradient), gradients flow through the
+    feature gathers."""
+    B, H, W, C = feats.shape
+    zero = feats.new_zeros(C)
+
+    def bilinear(img, y, x):
+        if y < -1.0 or y > H or x < -1.0 or x > W:
+            return zero
+        y, x = max(y, 0.0), max(x, 0.0)
+        y_lo, x_lo = int(np.floor(y)), int(np.floor(x))
+        if y_lo >= H - 1:
+            y_lo = y_hi = H - 1
+            y = float(y_lo)
+        else:
+            y_hi = y_lo + 1
+        if x_lo >= W - 1:
+            x_lo = x_hi = W - 1
+            x = float(x_lo)
+        else:
+            x_hi = x_lo + 1
+        ly, lx = y - y_lo, x - x_lo
+        return ((1 - ly) * (1 - lx) * img[y_lo, x_lo]
+                + (1 - ly) * lx * img[y_lo, x_hi]
+                + ly * (1 - lx) * img[y_hi, x_lo]
+                + ly * lx * img[y_hi, x_hi])
+
+    boxes = []
+    for n in range(rois.shape[0]):
+        b, x1, y1, x2, y2 = [float(v) for v in rois[n]]
+        img = feats[int(b)]
+        x1, y1, x2, y2 = x1 * scale, y1 * scale, x2 * scale, y2 * scale
+        rw, rh = max(x2 - x1, 1.0), max(y2 - y1, 1.0)
+        bw, bh = rw / pooled, rh / pooled
+        gw, gh = int(np.ceil(rw / pooled)), int(np.ceil(rh / pooled))
+        cells = []
+        for ph in range(pooled):
+            for pw in range(pooled):
+                acc = zero
+                for iy in range(gh):
+                    yy = y1 + ph * bh + (iy + 0.5) * bh / gh
+                    for ix in range(gw):
+                        xx = x1 + pw * bw + (ix + 0.5) * bw / gw
+                        acc = acc + bilinear(img, yy, xx)
+                cells.append(acc / (gh * gw))
+        boxes.append(torch.stack(cells).reshape(pooled, pooled, C))
+    return torch.stack(boxes)
+
+
+def test_full_model_ava_roi_gradients_match_torch_reference():
+    """Backward golden for the flagship AVA path: jax.grad of the masked
+    multi-label sigmoid loss through RoI head (temporal pool -> legacy
+    RoIAlign -> 7x7 max-pool) + per-box FBO-NL, vs torch.autograd with the
+    differentiable scalar RoIAlign transcription.  One box is mask-padding:
+    its loss rows must contribute nothing, certifying the normalized
+    Detectron SigmoidCrossEntropyLoss gradient (``resnet_video.py:320-341``)
+    and the RoIAlign feature backward together."""
+    cfg = make_cfg(**{'DATASET': 'ava', 'MODEL.NUM_CLASSES': 8,
+                      'MODEL.MULTI_LABEL': True,
+                      'FBO_NL.DROPOUT_RATE': 0.0,
+                      'FBO_NL.INPUT_DROPOUT_ON': False,
+                      'FBO_NL.LFB_DROPOUT_ON': False})
+    spec = build_spec(cfg, 'train')
+    rng = np.random.RandomState(23)
+    params = _perturbed_golden_params(spec, rng)
+
+    B, T, crop = 2, 16, 32
+    n_boxes = 4
+    data = rng.randn(B, T, crop, crop, 3).astype('f') * 0.5
+    # Strictly interior boxes (scaled coords within (0, H-1)): boundary
+    # clamping makes many pooling cells hit the SAME corner value, and the
+    # max subgradient among exact ties is implementation-defined -- the
+    # forward goldens above cover the clamped semantics; the backward golden
+    # needs a unique argmax.
+    proposals = np.stack([
+        np.repeat(np.arange(B), n_boxes // B).astype('f'),
+        rng.uniform(1.0, 6.0, n_boxes).astype('f'),
+        rng.uniform(1.0, 6.0, n_boxes).astype('f'),
+        rng.uniform(8.0, 15.0, n_boxes).astype('f'),
+        rng.uniform(8.0, 15.0, n_boxes).astype('f')], axis=1)
+    box_mask = np.array([1.0, 1.0, 1.0, 0.0], np.float32)   # last = padding
+    labels = (rng.rand(n_boxes, 8) < 0.3).astype('f')
+    lfb = rng.randn(n_boxes, spec.fbo.num_lfb_feat, 2048).astype('f') * 0.5
+
+    batch = {'data': jnp.asarray(data), 'proposals': jnp.asarray(proposals),
+             'box_mask': jnp.asarray(box_mask), 'lfb': jnp.asarray(lfb),
+             'labels': jnp.asarray(labels)}
+
+    def loss_fn(p):
+        return forward(spec, p, batch, train=True,
+                       rng=jax.random.PRNGKey(0))['loss']
+
+    jax_loss, jax_grads = jax.value_and_grad(loss_fn)(params)
+
+    tparams = {k: torch.tensor(np.asarray(v), requires_grad=True)
+               for k, v in params.items()}
+    ref = TorchRef(tparams, fbo_layers=2)
+    logits = ref.forward_roi(data, proposals, lfb, T, _roi_align_scalar_torch)
+    tl = torch.tensor(labels)
+    per_elem = (torch.clamp(logits, min=0) - logits * tl
+                + torch.log1p(torch.exp(-torch.abs(logits))))
+    w = torch.tensor(box_mask)[:, None]
+    ref_loss = (per_elem * w).sum() / (w.sum() * logits.shape[-1])
+    ref_loss.backward()
+
+    np.testing.assert_allclose(float(jax_loss), ref_loss.item(),
+                               rtol=1e-4, atol=1e-5)
+
+    from lfb_tpu.models.model import frozen_param_names
+    frozen = frozen_param_names(spec, params)
+    checked = 0
+    for k in sorted(params):
+        g = np.asarray(jax_grads[k])
+        if k in frozen:
+            np.testing.assert_array_equal(g, np.zeros_like(g), err_msg=k)
+            continue
+        tg = tparams[k].grad
+        assert tg is not None, k
+        tg = tg.numpy()
+        scale = max(1e-6, float(np.abs(tg).max()))
+        np.testing.assert_allclose(g, tg, rtol=5e-3, atol=2e-3 * scale,
+                                   err_msg=k)
+        checked += 1
     assert checked > 100, checked
 
 
