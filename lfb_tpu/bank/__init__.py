@@ -1,3 +1,4 @@
 from lfb_tpu.bank.lfb import get_lfb, load_lfb, write_lfb
 from lfb_tpu.bank.device_bank import (AvaDeviceBank, FrameDeviceBank,
-                                      build_device_bank)
+                                      ShardedDeviceBank, build_device_bank,
+                                      shard_bank)

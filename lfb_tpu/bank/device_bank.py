@@ -44,6 +44,7 @@ class AvaDeviceBank:
     def __init__(self, feats: jax.Array, table: jax.Array, counts: jax.Array,
                  *, window_size: int, k: int):
         self.feats = feats          # (R+1, D); row R is the zero row
+        self.zero_idx = feats.shape[0] - 1
         self.table = table          # (V, AVA_NUM_SECS, K_store) row ids
         self.counts = counts        # (V, AVA_NUM_SECS) valid slots
         self.window_size = window_size
@@ -111,9 +112,10 @@ class AvaDeviceBank:
         return cls(jnp.asarray(flat, dtype), jnp.asarray(table),
                    jnp.asarray(counts), window_size=window_size, k=k)
 
-    def gather(self, video_idx: jax.Array, sec: jax.Array,
-               rng: jax.Array) -> jax.Array:
-        """(N,) video ids + (N,) keyframe seconds -> (N, W*K, D) windows.
+    def choose_rows(self, video_idx: jax.Array, sec: jax.Array,
+                    rng: jax.Array) -> jax.Array:
+        """(N,) video ids + (N,) keyframe seconds -> (N, W*K) feature-row
+        ids (invalid slots point at the zero row).
 
         Per second, min(count, K) features are chosen uniformly without
         replacement into the leading slots; remaining slots are zero
@@ -139,10 +141,13 @@ class AvaDeviceBank:
         chosen = jnp.take_along_axis(slots, order, axis=-1)
         valid = jnp.arange(K) < jnp.minimum(counts, K)[..., None]   # (N,W,K)
 
-        zero_idx = self.feats.shape[0] - 1
-        chosen = jnp.where(valid, chosen, zero_idx)
-        window = self.feats[chosen.reshape(N, W * K)]               # (N,W*K,D)
-        return window
+        chosen = jnp.where(valid, chosen, self.zero_idx)
+        return chosen.reshape(N, W * K)
+
+    def gather(self, video_idx: jax.Array, sec: jax.Array,
+               rng: jax.Array) -> jax.Array:
+        """(N,) video ids + (N,) keyframe seconds -> (N, W*K, D) windows."""
+        return self.feats[self.choose_rows(video_idx, sec, rng)]
 
 
 class FrameDeviceBank:
@@ -158,6 +163,7 @@ class FrameDeviceBank:
                  clips_per_second: int = 2, max_per_frame: int = 1,
                  frames_per_second: int = 1):
         self.feats = feats          # (R+1, D); last row zero
+        self.zero_idx = feats.shape[0] - 1
         self.frame_ids = frame_ids  # (V, M) sorted, -1 padded
         self.rows = rows            # (V, M) row ids (zero row where padded)
         self.window_size = window_size
@@ -267,13 +273,12 @@ class FrameDeviceBank:
                    max_per_frame=max_per_frame,
                    frames_per_second=frames_per_second)
 
-    def gather(self, video_idx: jax.Array, begin: jax.Array,
-               end: jax.Array) -> jax.Array:
+    def choose_rows(self, video_idx: jax.Array, begin: jax.Array,
+                    end: jax.Array) -> jax.Array:
         """(N,) video ids + window [begin, end] (inclusive, in frames) ->
-        (N, W, D): the first W bank entries within the window, in frame
-        order, zero-padded."""
+        (N, W) feature-row ids: the first W bank entries within the window,
+        in frame order; pad slots point at the zero row."""
         W = self.window_size
-        N = video_idx.shape[0]
         vid = video_idx.astype(jnp.int32)
         fids = self.frame_ids[vid]                     # (N, M)
         rows = self.rows[vid]                          # (N, M)
@@ -285,9 +290,102 @@ class FrameDeviceBank:
         order = jnp.argsort(key, axis=-1)[:, :W]       # (N, W)
         chosen_valid = jnp.take_along_axis(valid, order, axis=-1)
         chosen_rows = jnp.take_along_axis(rows, order, axis=-1)
-        zero_idx = self.feats.shape[0] - 1
-        chosen_rows = jnp.where(chosen_valid, chosen_rows, zero_idx)
-        return self.feats[chosen_rows]                 # (N, W, D)
+        return jnp.where(chosen_valid, chosen_rows, self.zero_idx)
+
+    def gather(self, video_idx: jax.Array, begin: jax.Array,
+               end: jax.Array) -> jax.Array:
+        """(N, W, D) window features (see :meth:`choose_rows`)."""
+        return self.feats[self.choose_rows(video_idx, begin, end)]
+
+
+def sharded_rows_lookup(feats_local: jax.Array, rows: jax.Array,
+                        axis: str) -> jax.Array:
+    """Row lookup from a mesh-sharded feature table, inside a shard_map body.
+
+    ``feats_local`` is this device's (S, D) row shard of the globally
+    (n*S, D) table; ``rows`` are GLOBAL row ids for this device's local
+    batch shard.  Every chosen row lives on exactly one device, so the
+    lookup is: all_gather the (tiny, int32) row ids, gather the rows each
+    device actually holds (others contribute zeros), then
+    ``psum_scatter`` the summed windows back so each device keeps exactly
+    its own batch shard's windows.  Communication = one tiny index
+    all_gather + one window-volume reduce_scatter over ICI — the same
+    volume the reference ships host->device per step
+    (``lib/datasets/ava.py:300-323``), but never touching the host.
+    """
+    S = feats_local.shape[0]
+    offset = jax.lax.axis_index(axis) * S
+    all_rows = jax.lax.all_gather(rows, axis, tiled=True)     # (N_global, M)
+    local = all_rows - offset
+    ok = (local >= 0) & (local < S)
+    vals = feats_local[jnp.clip(local, 0, S - 1)]             # (N, M, D)
+    vals = jnp.where(ok[..., None], vals, jnp.zeros((), vals.dtype))
+    return jax.lax.psum_scatter(vals, axis, scatter_dimension=0, tiled=True)
+
+
+class ShardedDeviceBank:
+    """A device bank whose feature table is row-sharded over a mesh axis.
+
+    The replicated :class:`AvaDeviceBank` / :class:`FrameDeviceBank` keeps
+    one full copy of the (R, D) feature table per chip.  Long videos / large
+    datasets make that table the dominant HBM tenant next to activations
+    (reference banks are 1-4 GB, ``GETTING_STARTED.md:45``); sharding its
+    rows over the data axis cuts per-chip bank HBM by the mesh size, with
+    window gathers reassembled on-device by
+    :func:`sharded_rows_lookup`.  Only valid under the explicit shard_map
+    step (``TPU.SHARD_MAP``): the feature shard enters the body as a
+    P(axis) operand, and the small index tables stay replicated (int32,
+    MBs not GBs).
+    """
+
+    def __init__(self, inner, mesh, axis: str = 'data'):
+        from jax.sharding import NamedSharding, PartitionSpec
+        self.inner = inner
+        self.axis = axis
+        n = mesh.shape[axis]
+        feats = inner.feats
+        pad = (-feats.shape[0]) % n
+        if pad:
+            feats = jnp.concatenate(
+                [feats, jnp.zeros((pad,) + feats.shape[1:], feats.dtype)])
+        self.feats = jax.device_put(
+            feats, NamedSharding(mesh, PartitionSpec(axis)))
+        # Drop the replicated copy: choose_rows only needs the index tables
+        # and the stored zero_idx.  Leave a loud tombstone behind so a
+        # stray inner.gather fails instead of silently using stale data.
+        inner.feats = None
+
+    def local_view(self, feats_local: jax.Array) -> '_ShardLocalBankView':
+        """Bind this device's feature shard (a shard_map operand) into a
+        gather-compatible view for the step body."""
+        return _ShardLocalBankView(self.inner, feats_local, self.axis)
+
+
+class _ShardLocalBankView:
+    """Per-device view of a :class:`ShardedDeviceBank` inside shard_map."""
+
+    def __init__(self, inner, feats_local, axis):
+        self._inner = inner
+        self._feats_local = feats_local
+        self._axis = axis
+
+    def gather(self, video_idx: jax.Array, sec: jax.Array,
+               rng: jax.Array) -> jax.Array:
+        rows = self._inner.choose_rows(video_idx, sec, rng)
+        return sharded_rows_lookup(self._feats_local, rows, self._axis)
+
+    def gather_centers(self, video_idx: jax.Array,
+                       center: jax.Array) -> jax.Array:
+        begin, end = self._inner.window(center)
+        rows = self._inner.choose_rows(video_idx, begin, end)
+        return sharded_rows_lookup(self._feats_local, rows, self._axis)
+
+
+def shard_bank(bank, mesh, axis: str = 'data'):
+    """Row-shard a device bank's feature table over ``mesh`` (idempotent)."""
+    if bank is None or isinstance(bank, ShardedDeviceBank):
+        return bank
+    return ShardedDeviceBank(bank, mesh, axis=axis)
 
 
 def build_device_bank(cfg, host_bank: Dict, video_name_to_idx=None):

@@ -295,6 +295,13 @@ def default_config() -> Config:
     # (``ava.py:300-323``).  A positive value bounds table memory; overflow
     # entries are uniformly subsampled once at bank-build time.
     c.TPU.BANK_K_STORE = 0
+    # Row-shard the device bank's feature table over the data mesh axis:
+    # per-chip bank HBM drops by the mesh size (the reference replicates
+    # the 1-4 GB bank per process via the host pipeline); window gathers
+    # are reassembled on-device with an index all_gather + reduce_scatter.
+    # Requires TPU.SHARD_MAP (the feature shard enters the step body as an
+    # explicit P('data') operand).
+    c.TPU.BANK_SHARDED = False
     # Storage dtype for the HBM-resident device bank ('float32' or
     # 'bfloat16').  bfloat16 halves bank HBM (AVA: 3.3 GB -> 1.65 GB,
     # reference GETTING_STARTED.md:45) and matches the default bf16 FBO
@@ -384,6 +391,8 @@ def finalize(cfg: Config) -> Config:
     assert cfg.TPU.BANK_DTYPE in ('float32', 'bfloat16'), \
         "TPU.BANK_DTYPE must be 'float32' or 'bfloat16', got {!r}".format(
             cfg.TPU.BANK_DTYPE)
+    assert not cfg.TPU.BANK_SHARDED or cfg.TPU.SHARD_MAP, \
+        'TPU.BANK_SHARDED requires the explicit shard_map step (TPU.SHARD_MAP)'
     # Only used by AVA: total bank-window entries per example.
     cfg.LFB.NUM_LFB_FEAT = (
         cfg.AVA.LFB_MAX_NUM_FEAT_PER_STEP * cfg.LFB.WINDOW_SIZE)

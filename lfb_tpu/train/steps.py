@@ -83,6 +83,9 @@ def make_train_step(spec: ModelSpec, solver, mesh=None, bank=None,
     wd_bn = float(solver.WEIGHT_DECAY_BN)
     bn_momentum = float(spec.bn_momentum)
 
+    from lfb_tpu.bank.device_bank import ShardedDeviceBank
+    bank_sharded = isinstance(bank, ShardedDeviceBank)
+
     if use_shard_map and mesh is not None:
         assert spec.use_affine, 'shard_map step requires frozen-affine mode'
         import dataclasses
@@ -92,12 +95,14 @@ def make_train_step(spec: ModelSpec, solver, mesh=None, bank=None,
         from lfb_tpu.models.model import loss_parts
 
         def step(trainable, frozen, mstate, batch, rng, lr):
-            def shard_body(trainable, frozen, batch, rng):
+            def shard_body(trainable, frozen, batch, rng, *bank_feats):
+                body_bank = (bank.local_view(bank_feats[0])
+                             if bank_feats else bank)
                 rng = jax.random.fold_in(rng, jax.lax.axis_index('data'))
                 bank_rng, rng = jax.random.split(rng)
                 batch2 = _localize_proposals(batch)
-                batch2 = _inject_device_bank_lfb(spec_local, bank, batch2,
-                                                 bank_rng)
+                batch2 = _inject_device_bank_lfb(spec_local, body_bank,
+                                                 batch2, bank_rng)
 
                 # Differentiate the LOCAL loss numerator.  Params are
                 # device-INVARIANT under shard_map's varying-axes typing,
@@ -123,11 +128,16 @@ def make_train_step(spec: ModelSpec, solver, mesh=None, bank=None,
                 return grads, loss, prob
 
             repl_spec = P()
+            in_specs = (repl_spec, repl_spec, P('data'), repl_spec)
+            operands = (trainable, frozen, batch, rng)
+            if bank_sharded:
+                in_specs += (P('data'),)
+                operands += (bank.feats,)
             grads, loss, prob = shard_map(
                 shard_body, mesh=mesh,
-                in_specs=(repl_spec, repl_spec, P('data'), repl_spec),
+                in_specs=in_specs,
                 out_specs=(repl_spec, repl_spec, P('data')),
-            )(trainable, frozen, batch, rng)
+            )(*operands)
             new_trainable, new_mstate = opt.apply_updates(
                 trainable, grads, mstate, lr=lr, momentum=momentum,
                 nesterov=nesterov, weight_decay=wd, weight_decay_bn=wd_bn)
@@ -142,6 +152,9 @@ def make_train_step(spec: ModelSpec, solver, mesh=None, bank=None,
             out_shardings=(repl, repl, repl, {'loss': repl, 'prob': data}),
             donate_argnums=(0, 1, 2),
         )
+
+    assert not bank_sharded, \
+        'a ShardedDeviceBank requires the shard_map step (TPU.SHARD_MAP)'
 
     def step(trainable, frozen, mstate, batch, rng, lr):
         bank_rng, rng = jax.random.split(rng)
@@ -200,6 +213,9 @@ def make_eval_step(spec: ModelSpec, mesh=None, with_loss: bool = False,
             keep['loss'] = out['loss']
         return keep
 
+    from lfb_tpu.bank.device_bank import ShardedDeviceBank
+    bank_sharded = isinstance(bank, ShardedDeviceBank)
+
     if use_shard_map and mesh is not None:
         import dataclasses
         from jax import shard_map
@@ -208,10 +224,13 @@ def make_eval_step(spec: ModelSpec, mesh=None, with_loss: bool = False,
                                          data_axis='data')
 
         def step(params, batch):
-            def shard_body(params, batch):
+            def shard_body(params, batch, *bank_feats):
+                body_bank = (bank.local_view(bank_feats[0])
+                             if bank_feats else bank)
                 batch2 = _localize_proposals(batch)
                 batch2 = _inject_device_bank_lfb(
-                    spec_local, bank, batch2, jax.random.PRNGKey(bank_seed))
+                    spec_local, body_bank, batch2,
+                    jax.random.PRNGKey(bank_seed))
                 out = forward(spec_local, params, batch2, train=False,
                               rng=None)
                 keep = _outputs({k: v for k, v in out.items()
@@ -226,10 +245,15 @@ def make_eval_step(spec: ModelSpec, mesh=None, with_loss: bool = False,
                     keep['loss_den'] = jnp.reshape(den, (1,))
                 return keep
 
+            in_specs = (P(), P('data'))
+            operands = (params, batch)
+            if bank_sharded:
+                in_specs += (P('data'),)
+                operands += (bank.feats,)
             out = shard_map(shard_body, mesh=mesh,
-                            in_specs=(P(), P('data')),
+                            in_specs=in_specs,
                             out_specs=P('data'),
-                            )(params, batch)
+                            )(*operands)
             if 'loss_num' in out:
                 out['loss'] = (out.pop('loss_num').sum()
                                / jnp.maximum(out.pop('loss_den').sum(), 1.0))
@@ -238,6 +262,9 @@ def make_eval_step(spec: ModelSpec, mesh=None, with_loss: bool = False,
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P('data'))
         return jax.jit(step, in_shardings=(repl, data))
+
+    assert not bank_sharded, \
+        'a ShardedDeviceBank requires the shard_map step (TPU.SHARD_MAP)'
 
     def step(params, batch):
         batch = _inject_device_bank_lfb(

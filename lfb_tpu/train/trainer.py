@@ -115,6 +115,10 @@ class Trainer:
         if not hasattr(test_bank, 'gather'):
             test_bank = None
         use_sm = bool(cfg.TPU.SHARD_MAP)
+        if cfg.TPU.BANK_SHARDED and self.mesh is not None:
+            from lfb_tpu.bank.device_bank import shard_bank
+            train_bank = shard_bank(train_bank, self.mesh)
+            test_bank = shard_bank(test_bank, self.mesh)
         self.train_step = make_train_step(self.spec, cfg.SOLVER, self.mesh,
                                           bank=train_bank,
                                           use_shard_map=use_sm)

@@ -288,3 +288,72 @@ def test_bank_dtype_bfloat16_halves_storage_and_preserves_gather():
     fbank = {0: {f: rng.randn(8).astype(np.float32) for f in range(0, 48, 12)}}
     devc = build_device_bank(cfg_c, fbank)
     assert devc.feats.dtype == jnp.bfloat16
+
+
+def test_sharded_rows_lookup_matches_direct(eight_devices):
+    """Row lookup from a mesh-sharded feature table (index all_gather +
+    masked local gather + psum_scatter) == direct feats[rows]."""
+    from jax.sharding import PartitionSpec as P
+    from lfb_tpu.bank.device_bank import sharded_rows_lookup
+    from lfb_tpu.parallel import create_mesh
+
+    mesh = create_mesh(8)
+    rng = np.random.RandomState(0)
+    R, D, N, M = 37, 8, 16, 5                      # R not divisible by 8
+    feats = rng.randn(R, D).astype(np.float32)
+    rows = rng.randint(0, R, size=(N, M)).astype(np.int32)
+    expected = feats[rows]
+
+    pad = (-R) % 8
+    feats_padded = np.concatenate([feats, np.zeros((pad, D), np.float32)])
+
+    out = jax.jit(jax.shard_map(
+        lambda f, r: sharded_rows_lookup(f, r, 'data'),
+        mesh=mesh, in_specs=(P('data'), P('data')), out_specs=P('data'),
+    ))(jnp.asarray(feats_padded), jnp.asarray(rows))
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-6)
+
+
+def test_sharded_frame_bank_matches_replicated(eight_devices):
+    """ShardedDeviceBank.local_view window gathers == the replicated bank
+    (frame-bank gathers are deterministic), with per-chip feature storage
+    1/8 of the table."""
+    from jax.sharding import PartitionSpec as P
+    from lfb_tpu.bank.device_bank import shard_bank
+    from lfb_tpu.parallel import create_mesh
+
+    dim, W = 8, 4
+    rng = np.random.RandomState(3)
+    bank = {v: {f: rng.randn(dim).astype(np.float32)
+                for f in range(0, 24 * (v + 3), 12)} for v in range(4)}
+    dev = FrameDeviceBank.build(bank, window_size=W, lfb_dim=dim)
+    videos = np.array([0, 1, 2, 3, 0, 1, 2, 3], np.int32)
+    centers = np.array([20, 5, 40, 0, 0, 300, 13, 27], np.int32)
+    expected = np.asarray(dev.gather_centers(jnp.asarray(videos),
+                                             jnp.asarray(centers)))
+
+    mesh = create_mesh(8)
+    sharded = shard_bank(FrameDeviceBank.build(bank, window_size=W,
+                                               lfb_dim=dim), mesh)
+    assert sharded.inner.feats is None              # replicated copy dropped
+    # Each device addresses only its 1/8 row shard.
+    shard_rows = {s.data.shape[0] for s in sharded.feats.addressable_shards}
+    assert shard_rows == {sharded.feats.shape[0] // 8}
+
+    out = jax.jit(jax.shard_map(
+        lambda f, v, c: sharded.local_view(f).gather_centers(v, c),
+        mesh=mesh, in_specs=(P('data'), P('data'), P('data')),
+        out_specs=P('data'),
+    ))(sharded.feats, jnp.asarray(videos), jnp.asarray(centers))
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-6)
+
+
+def test_bank_sharded_requires_shard_map_config():
+    import pytest
+    from lfb_tpu.core import config as C
+    cfg = C.default_config()
+    cfg.TPU.BANK_SHARDED = True
+    with pytest.raises(AssertionError, match='SHARD_MAP'):
+        C.finalize(cfg)
+    cfg.TPU.SHARD_MAP = True
+    C.finalize(cfg)    # valid together

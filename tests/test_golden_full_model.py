@@ -797,15 +797,28 @@ def test_full_model_true_bn_matches_torch_reference():
                                rtol=5e-4, atol=5e-5)
 
     # BN backward is genuinely ill-conditioned at f32: running the SAME
-    # torch model at f32 vs f64 already gives 2.4e-2 relative-L2 deviation
-    # on deep conv gradients (60-76% of elements beyond 1% elementwise), so
-    # elementwise tolerances would only measure rounding.  Certify with a
-    # per-tensor relative-L2 bound at ~2x the f32 self-deviation floor.
+    # torch model at f32 vs f64 gives up to ~3.8e-2 relative-L2 deviation on
+    # deep NL-conv gradients (60-76% of elements beyond 1% elementwise), so
+    # fixed elementwise tolerances would only measure rounding.  Certify
+    # self-calibratingly instead: compute a float64 torch ground truth and
+    # require the jax-f32 gradients to sit within 3x the PER-TENSOR
+    # deviation that torch's own f32 run shows against that ground truth
+    # (floored at 5e-3 for tensors torch-f32 happens to nail).
+    tparams64 = {k: torch.tensor(np.asarray(v, np.float64),
+                                 requires_grad=True)
+                 for k, v in params.items()}
+    ref64 = TorchRef(tparams64, use_affine=False)
+    logits64 = ref64.forward(torch.tensor(data, dtype=torch.float64),
+                             torch.tensor(lfb, dtype=torch.float64), T)
+    nll64 = -torch.log_softmax(logits64, dim=-1)[
+        torch.arange(B), torch.tensor(labels)]
+    nll64.mean().backward()
+
     frozen = frozen_param_names(spec, params)
     assert not any(k.endswith('_bn_s') for k in frozen)   # BN s/b trainable
-    tgrads = {k: np.asarray(tparams[k].grad.numpy(), np.float64)
-              for k in params if k not in frozen}
-    gmax = max(np.linalg.norm(v) for v in tgrads.values())
+    tgrads64 = {k: np.asarray(tparams64[k].grad.numpy(), np.float64)
+                for k in params if k not in frozen}
+    gmax = max(np.linalg.norm(v) for v in tgrads64.values())
     checked = bn_checked = 0
     for k in sorted(params):
         g = np.asarray(jax_grads[k], np.float64)
@@ -813,16 +826,18 @@ def test_full_model_true_bn_matches_torch_reference():
             assert k.endswith('_bn_rm') or k.endswith('_bn_riv'), k
             np.testing.assert_array_equal(g, np.zeros_like(g), err_msg=k)
             continue
-        tg = tgrads[k]
-        denom = np.linalg.norm(tg)
+        tg64 = tgrads64[k]
+        denom = np.linalg.norm(tg64)
         if denom < 1e-5 * gmax:
             # Analytically-zero gradients (e.g. the FBO phi bias: a constant
             # shift of phi moves every attention logit equally, and softmax
             # is shift-invariant) -- both sides must be numerically zero.
             assert np.linalg.norm(g) < 1e-5 * gmax, k
             continue
-        rel_l2 = float(np.linalg.norm(g - tg) / denom)
-        assert rel_l2 < 5e-2, (k, rel_l2)
+        floor = float(np.linalg.norm(
+            np.asarray(tparams[k].grad.numpy(), np.float64) - tg64) / denom)
+        rel_l2 = float(np.linalg.norm(g - tg64) / denom)
+        assert rel_l2 < max(3.0 * floor, 5e-3), (k, rel_l2, floor)
         checked += 1
         bn_checked += k.endswith('_bn_s') or k.endswith('_bn_b')
     assert checked > 100 and bn_checked > 50, (checked, bn_checked)

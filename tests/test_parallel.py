@@ -246,3 +246,82 @@ def test_shard_map_train_with_custom_vjp_stem(eight_devices, request):
     scale = np.abs(d_auto).max()
     assert scale > 0
     np.testing.assert_allclose(d_sm / scale, d_auto / scale, atol=5e-2)
+
+
+def _charades_device_bank_fixture():
+    """Small charades-style device bank + index batch for bank-path tests."""
+    from lfb_tpu.bank.device_bank import FrameDeviceBank
+
+    cfg = small_cfg()
+    cfg.FBO_NL.INPUT_DROPOUT_ON = False
+    cfg.FBO_NL.LFB_DROPOUT_ON = False
+    rng = np.random.RandomState(7)
+    host_bank = {v: {f: rng.randn(2048).astype(np.float32)
+                     for f in range(0, 96, 12)} for v in range(4)}
+
+    def build():
+        return FrameDeviceBank.build(host_bank, window_size=cfg.LFB.WINDOW_SIZE,
+                                     lfb_dim=2048)
+
+    batch = {
+        'data': 0.1 * rng.randn(8, 8, 32, 32, 3).astype(np.float32),
+        'labels': (rng.rand(8, 6) > 0.5).astype(np.float32),
+        'lfb_video_idx': np.arange(8, dtype=np.int32) % 4,
+        'lfb_center': np.array([20, 5, 40, 0, 0, 90, 13, 27], np.int32),
+    }
+    return cfg, build, batch
+
+
+def test_sharded_bank_train_step_matches_replicated(eight_devices):
+    """TPU.BANK_SHARDED: the shard_map train step with the bank's feature
+    table row-sharded over the mesh (index all_gather + psum_scatter window
+    reassembly) is numerically identical to the replicated-bank shard_map
+    step; per-chip bank HBM is 1/8."""
+    from lfb_tpu.bank.device_bank import shard_bank
+
+    cfg, build_bank, batch_np = _charades_device_bank_fixture()
+    spec = build_spec(cfg, 'train')
+    mesh = create_mesh(8)
+
+    def run(bank):
+        params = init_params(jax.random.PRNGKey(0), spec)
+        trainable, frozen = split_params(spec, params)
+        mstate = opt.init_state(params, frozen_param_names(spec, params))
+        step = make_train_step(spec, cfg.SOLVER, mesh, bank=bank,
+                               use_shard_map=True)
+        t, f, m, aux = step(trainable, frozen, mstate,
+                            shard_batch(mesh, batch_np),
+                            jax.random.PRNGKey(7), jnp.float32(1e-5))
+        return float(aux['loss']), np.asarray(t['lfb_nl0_theta_w'])
+
+    loss_r, w_r = run(build_bank())
+    sharded = shard_bank(build_bank(), mesh)
+    assert sharded.inner.feats is None
+    loss_s, w_s = run(sharded)
+    np.testing.assert_allclose(loss_s, loss_r, rtol=1e-5)
+    np.testing.assert_allclose(w_s, w_r, rtol=1e-4, atol=1e-7)
+
+
+def test_sharded_bank_eval_step_matches_replicated(eight_devices):
+    from lfb_tpu.bank.device_bank import shard_bank
+
+    cfg, build_bank, batch_np = _charades_device_bank_fixture()
+    spec = build_spec(cfg, 'val')
+    mesh = create_mesh(8)
+    params = init_params(jax.random.PRNGKey(0), spec)
+    batch = shard_batch(mesh, {k: v for k, v in batch_np.items()
+                               if k != 'labels'})
+
+    out_r = make_eval_step(spec, mesh, bank=build_bank(),
+                           use_shard_map=True)(params, batch)
+    out_s = make_eval_step(spec, mesh, bank=shard_bank(build_bank(), mesh),
+                           use_shard_map=True)(params, batch)
+    np.testing.assert_allclose(np.asarray(out_s['logits']),
+                               np.asarray(out_r['logits']),
+                               rtol=1e-5, atol=1e-6)
+
+    # Without shard_map a sharded bank must be rejected loudly.
+    import pytest
+    with pytest.raises(AssertionError, match='SHARD_MAP'):
+        make_eval_step(spec, mesh, bank=shard_bank(build_bank(), mesh),
+                       use_shard_map=False)

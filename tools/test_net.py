@@ -72,6 +72,9 @@ def test_one_crop(cfg, lfb=None, shift=None, output_dir='.'):
     bank = getattr(db, 'lfb', None)
     if not hasattr(bank, 'gather'):
         bank = None
+    if cfg.TPU.BANK_SHARDED and mesh is not None:
+        from lfb_tpu.bank.device_bank import shard_bank
+        bank = shard_bank(bank, mesh)
     step = make_eval_step(spec, mesh, bank=bank, bank_seed=cfg.RNG_SEED,
                           use_shard_map=bool(cfg.TPU.SHARD_MAP))
 
