@@ -150,6 +150,35 @@ class AvaDeviceBank:
         return self.feats[self.choose_rows(video_idx, sec, rng)]
 
 
+def _cap_frame_table_width(label: str, auto_width: int, cap: int,
+                           window_size: int, num_videos: int) -> int:
+    """Resolve a frame bank's per-video index-table width and make the
+    choice visible: the auto width is set by the single LONGEST video, so
+    one outlier inflates the (V, M) int32 tables for every video."""
+    import logging
+    log = logging.getLogger(__name__)
+    if cap > 0:
+        width = max(cap, window_size)
+        log.info('%s: explicit per-video cap %d (index tables 2 x %d x %d '
+                 'int32 = %.1f MiB)', label, width, num_videos, width,
+                 2 * num_videos * width * 4 / 2 ** 20)
+        return width
+    log.info('%s: auto per-video width %d (longest video); index tables '
+             '2 x %d x %d int32 = %.1f MiB (TPU.BANK_MAX_PER_VIDEO > 0 is '
+             'the explicit cap)', label, auto_width, num_videos, auto_width,
+             2 * num_videos * auto_width * 4 / 2 ** 20)
+    return auto_width
+
+
+def _warn_frame_truncation(label: str, truncated: int, width: int) -> None:
+    if truncated:
+        import logging
+        logging.getLogger(__name__).warning(
+            '%s: %d videos exceeded explicit per-video cap %d and were '
+            'uniformly subsampled at build time (set TPU.BANK_MAX_PER_VIDEO: '
+            '0 to store all features)', label, truncated, width)
+
+
 class FrameDeviceBank:
     """Packed frame-level bank: flat features + per-video sorted frame ids.
 
@@ -199,25 +228,42 @@ class FrameDeviceBank:
     def build(cls, host_bank: Dict, video_key_to_idx=None, *,
               window_size: int, lfb_dim: int = 2048,
               window_mode: str = 'charades', fps: int = 24,
-              clips_per_second: int = 2,
+              clips_per_second: int = 2, max_per_video: int = 0,
               dtype=jnp.float32) -> 'FrameDeviceBank':
         """``host_bank`` is {video_key: {frame: feat}}; ``video_key_to_idx``
-        maps keys to dense indices (identity for int keys)."""
+        maps keys to dense indices (identity for int keys).
+
+        ``max_per_video`` caps the per-video index-table width (the default
+        0 auto-sizes to the single LONGEST video, so every feature is
+        stored -- exact host semantics); an explicit positive cap bounds
+        table memory, with over-length videos uniformly subsampled once at
+        build time (``TPU.BANK_MAX_PER_VIDEO``)."""
         if video_key_to_idx is None:
             video_key_to_idx = {k: int(k) for k in host_bank}
         num_videos = max(video_key_to_idx.values()) + 1 if host_bank else 0
         # At least window_size columns so a gather can always yield W rows.
         max_entries = max(max((len(v) for v in host_bank.values()), default=1),
                           window_size)
+        max_entries = _cap_frame_table_width(
+            'FrameDeviceBank', max_entries, max_per_video, window_size,
+            num_videos)
         frame_ids = np.full((num_videos, max_entries), -1, np.int32)
         rows_tab = np.zeros((num_videos, max_entries), np.int32)
         rows = []
+        truncated = 0
+        sub_rng = np.random.default_rng(20190607)  # fixed: reproducible banks
         for key, frames in host_bank.items():
             vi = video_key_to_idx[key]
-            for j, frame in enumerate(sorted(frames)):
+            ordered = sorted(frames)
+            if len(ordered) > max_entries:
+                truncated += 1
+                keep = sub_rng.choice(len(ordered), max_entries, replace=False)
+                ordered = [ordered[i] for i in sorted(keep)]
+            for j, frame in enumerate(ordered):
                 frame_ids[vi, j] = frame
                 rows_tab[vi, j] = len(rows)
                 rows.append(np.asarray(frames[frame], np.float32))
+        _warn_frame_truncation('FrameDeviceBank', truncated, max_entries)
         zero_row = np.zeros((lfb_dim,), np.float32)
         flat = np.stack(rows + [zero_row]) if rows else zero_row[None]
         zero_idx = flat.shape[0] - 1
@@ -230,8 +276,8 @@ class FrameDeviceBank:
     @classmethod
     def build_noun(cls, host_bank: Dict, *, window_size: int,
                    max_per_frame: int, frames_per_second: int, fps: int,
-                   lfb_dim: int = 2048, dtype=jnp.float32
-                   ) -> 'FrameDeviceBank':
+                   lfb_dim: int = 2048, max_per_video: int = 0,
+                   dtype=jnp.float32) -> 'FrameDeviceBank':
         """Noun banks: ``{video_idx: {frame: (n, D) detector feats}}``.
 
         Flattens each frame's features (first ``max_per_frame``, the cap the
@@ -255,14 +301,24 @@ class FrameDeviceBank:
                     flat.append((frame, f))
             entries[vi] = flat
             max_entries = max(max_entries, len(flat))
+        max_entries = _cap_frame_table_width(
+            'FrameDeviceBank(noun)', max_entries, max_per_video, window_size,
+            num_videos)
         frame_ids = np.full((num_videos, max_entries), -1, np.int32)
         rows_tab = np.zeros((num_videos, max_entries), np.int32)
         rows = []
+        truncated = 0
+        sub_rng = np.random.default_rng(20190607)  # fixed: reproducible banks
         for vi, flat in entries.items():
+            if len(flat) > max_entries:
+                truncated += 1
+                keep = sub_rng.choice(len(flat), max_entries, replace=False)
+                flat = [flat[i] for i in sorted(keep)]
             for j, (frame, f) in enumerate(flat):
                 frame_ids[vi, j] = frame
                 rows_tab[vi, j] = len(rows)
                 rows.append(f)
+        _warn_frame_truncation('FrameDeviceBank(noun)', truncated, max_entries)
         zero_row = np.zeros((lfb_dim,), np.float32)
         flat_feats = np.stack(rows + [zero_row]) if rows else zero_row[None]
         zero_idx = flat_feats.shape[0] - 1
@@ -340,7 +396,13 @@ class ShardedDeviceBank:
 
     def __init__(self, inner, mesh, axis: str = 'data'):
         from jax.sharding import NamedSharding, PartitionSpec
+        if inner.feats is None:
+            raise ValueError(
+                'bank already sharded: this inner bank\'s feature table was '
+                'dropped by a previous shard_bank; reuse that '
+                'ShardedDeviceBank (shard_bank() does this automatically)')
         self.inner = inner
+        self.mesh = mesh
         self.axis = axis
         n = mesh.shape[axis]
         feats = inner.feats
@@ -354,6 +416,7 @@ class ShardedDeviceBank:
         # and the stored zero_idx.  Leave a loud tombstone behind so a
         # stray inner.gather fails instead of silently using stale data.
         inner.feats = None
+        inner._sharded_wrapper = self
 
     def local_view(self, feats_local: jax.Array) -> '_ShardLocalBankView':
         """Bind this device's feature shard (a shard_map operand) into a
@@ -382,9 +445,20 @@ class _ShardLocalBankView:
 
 
 def shard_bank(bank, mesh, axis: str = 'data'):
-    """Row-shard a device bank's feature table over ``mesh`` (idempotent)."""
+    """Row-shard a device bank's feature table over ``mesh`` (idempotent).
+
+    Idempotent on both the wrapper AND the inner bank: wrapping the same
+    inner instance twice (e.g. one pre-built device bank passed as both the
+    train and test bank) returns the existing wrapper instead of failing on
+    the dropped feature table.
+    """
     if bank is None or isinstance(bank, ShardedDeviceBank):
         return bank
+    cached = getattr(bank, '_sharded_wrapper', None)
+    if cached is not None:
+        assert cached.mesh is mesh and cached.axis == axis, \
+            'bank already sharded over a different mesh/axis'
+        return cached
     return ShardedDeviceBank(bank, mesh, axis=axis)
 
 
@@ -411,20 +485,23 @@ def build_device_bank(cfg, host_bank: Dict, video_name_to_idx=None):
             host_bank, window_size=cfg.LFB.WINDOW_SIZE,
             lfb_dim=cfg.LFB.LFB_DIM, window_mode='charades',
             fps=cfg.CHARADES.FPS,
-            clips_per_second=cfg.CHARADES.LFB_CLIPS_PER_SECOND, dtype=dtype)
+            clips_per_second=cfg.CHARADES.LFB_CLIPS_PER_SECOND,
+            max_per_video=cfg.TPU.BANK_MAX_PER_VIDEO, dtype=dtype)
     if cfg.DATASET == 'epic':
         if cfg.EPIC.CLASS_TYPE == 'noun':
             return FrameDeviceBank.build_noun(
                 host_bank, window_size=cfg.LFB.WINDOW_SIZE,
                 max_per_frame=cfg.EPIC.MAX_NUM_FEATS_PER_NOUN_LFB_FRAME,
                 frames_per_second=cfg.EPIC.NOUN_LFB_FRAMES_PER_SECOND,
-                fps=cfg.EPIC.FPS, lfb_dim=cfg.LFB.LFB_DIM, dtype=dtype)
+                fps=cfg.EPIC.FPS, lfb_dim=cfg.LFB.LFB_DIM,
+                max_per_video=cfg.TPU.BANK_MAX_PER_VIDEO, dtype=dtype)
         assert video_name_to_idx is not None, \
             'EPIC verb banks are keyed by video name'
         return FrameDeviceBank.build(
             host_bank, video_name_to_idx, window_size=cfg.LFB.WINDOW_SIZE,
             lfb_dim=cfg.LFB.LFB_DIM, window_mode='epic_verb',
-            fps=cfg.EPIC.FPS, dtype=dtype)
+            fps=cfg.EPIC.FPS, max_per_video=cfg.TPU.BANK_MAX_PER_VIDEO,
+            dtype=dtype)
     raise ValueError(cfg.DATASET)
 
 

@@ -295,6 +295,11 @@ def default_config() -> Config:
     # (``ava.py:300-323``).  A positive value bounds table memory; overflow
     # entries are uniformly subsampled once at bank-build time.
     c.TPU.BANK_K_STORE = 0
+    # Frame-level device banks (Charades / EPIC) auto-size their per-video
+    # index tables to the single LONGEST video; this caps the per-video
+    # entry count instead (0 = auto/store-all).  Videos over the cap get
+    # their entries uniformly subsampled once at bank-build time.
+    c.TPU.BANK_MAX_PER_VIDEO = 0
     # Row-shard the device bank's feature table over the data mesh axis:
     # per-chip bank HBM drops by the mesh size (the reference replicates
     # the 1-4 GB bank per process via the host pipeline); window gathers
@@ -393,6 +398,10 @@ def finalize(cfg: Config) -> Config:
             cfg.TPU.BANK_DTYPE)
     assert not cfg.TPU.BANK_SHARDED or cfg.TPU.SHARD_MAP, \
         'TPU.BANK_SHARDED requires the explicit shard_map step (TPU.SHARD_MAP)'
+    # Without a device bank there is nothing to shard: the dataset keeps a
+    # host bank and BANK_SHARDED would silently do nothing.
+    assert not cfg.TPU.BANK_SHARDED or cfg.TPU.DEVICE_BANK, \
+        'TPU.BANK_SHARDED requires TPU.DEVICE_BANK (the HBM-resident bank)'
     # Only used by AVA: total bank-window entries per example.
     cfg.LFB.NUM_LFB_FEAT = (
         cfg.AVA.LFB_MAX_NUM_FEAT_PER_STEP * cfg.LFB.WINDOW_SIZE)

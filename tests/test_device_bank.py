@@ -244,6 +244,32 @@ def test_ava_device_bank_explicit_k_store_subsamples_uniformly():
     assert len(stored) == ks and stored <= set(range(1, n + 1))
 
 
+def test_frame_device_bank_explicit_max_per_video_subsamples_uniformly():
+    """TPU.BANK_MAX_PER_VIDEO caps the per-video index-table width (auto
+    width follows the single longest video); over-length videos keep a
+    uniform, frame-ordered subsample."""
+    dim, W, n, cap = 4, 6, 12, 6
+    bank = {0: {f: np.full(dim, float(f + 1), np.float32) for f in range(n)},
+            1: {f: np.full(dim, 100.0 + f, np.float32) for f in range(3)}}
+    dev = FrameDeviceBank.build(bank, window_size=W, lfb_dim=dim,
+                                max_per_video=cap)
+    assert dev.frame_ids.shape[-1] == cap
+    kept = np.asarray(dev.frame_ids[0])
+    kept = kept[kept >= 0]
+    assert len(kept) == cap and list(kept) == sorted(kept)  # frame order
+    # Short videos are untouched.
+    kept1 = np.asarray(dev.frame_ids[1])
+    assert list(kept1[kept1 >= 0]) == [0, 1, 2]
+    # A gather over the full window returns exactly the stored subsample.
+    out = np.asarray(dev.gather(jnp.array([0]), jnp.array([0]),
+                                jnp.array([n])))
+    vals = {int(v) for v in out[0, :, 0] if v > 0}
+    assert vals == {int(f) + 1 for f in kept}
+    # Auto mode (0) stores everything.
+    auto = FrameDeviceBank.build(bank, window_size=W, lfb_dim=dim)
+    assert auto.frame_ids.shape[-1] == n
+
+
 def test_bank_dtype_bfloat16_halves_storage_and_preserves_gather():
     """TPU.BANK_DTYPE 'bfloat16' stores feature rows in bf16 (index tables
     stay int32); gathers match the float32 bank to bf16 rounding."""
@@ -353,7 +379,33 @@ def test_bank_sharded_requires_shard_map_config():
     from lfb_tpu.core import config as C
     cfg = C.default_config()
     cfg.TPU.BANK_SHARDED = True
+    cfg.TPU.DEVICE_BANK = True
     with pytest.raises(AssertionError, match='SHARD_MAP'):
         C.finalize(cfg)
     cfg.TPU.SHARD_MAP = True
     C.finalize(cfg)    # valid together
+    # ... and a device bank: with DEVICE_BANK off the dataset keeps a host
+    # bank and BANK_SHARDED would silently do nothing.
+    cfg.TPU.DEVICE_BANK = False
+    with pytest.raises(AssertionError, match='DEVICE_BANK'):
+        C.finalize(cfg)
+
+
+def test_shard_bank_rewrap_reuses_wrapper(eight_devices):
+    """Wrapping the same inner bank twice (one pre-built device bank used as
+    both train and test bank) returns the cached wrapper instead of dying on
+    the dropped feature table; a direct second ShardedDeviceBank() raises a
+    clear error."""
+    import pytest
+    from lfb_tpu.bank.device_bank import (FrameDeviceBank, ShardedDeviceBank,
+                                          shard_bank)
+    from lfb_tpu.parallel import create_mesh
+
+    bank = {0: {f: np.full(4, f, np.float32) for f in range(0, 32, 4)}}
+    inner = FrameDeviceBank.build(bank, window_size=4, lfb_dim=4)
+    mesh = create_mesh(8)
+    first = shard_bank(inner, mesh)
+    assert shard_bank(inner, mesh) is first          # idempotent on inner
+    assert shard_bank(first, mesh) is first          # idempotent on wrapper
+    with pytest.raises(ValueError, match='already sharded'):
+        ShardedDeviceBank(inner, mesh)

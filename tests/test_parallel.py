@@ -272,6 +272,90 @@ def _charades_device_bank_fixture():
     return cfg, build, batch
 
 
+def _ava_device_bank_fixture():
+    """AVA-style device bank (random per-sec feature choice + RoI metadata
+    wiring) + batch for sharded-vs-replicated parity tests."""
+    from lfb_tpu.bank.device_bank import AvaDeviceBank
+
+    cfg = small_cfg()
+    cfg.DATASET = 'ava'
+    cfg.FBO_NL.INPUT_DROPOUT_ON = False
+    cfg.FBO_NL.LFB_DROPOUT_ON = False
+    cfg.AVA.LFB_MAX_NUM_FEAT_PER_STEP = 2
+    cfg = C.finalize(cfg)
+    rng = np.random.RandomState(11)
+    host_bank = {v: {sec: [rng.randn(2048).astype(np.float32)
+                           for _ in range(1 + (v + sec) % 4)]
+                     for sec in range(902, 918)} for v in range(4)}
+
+    def build():
+        return AvaDeviceBank.build(
+            host_bank, window_size=cfg.LFB.WINDOW_SIZE,
+            k=cfg.AVA.LFB_MAX_NUM_FEAT_PER_STEP, lfb_dim=2048)
+
+    B, bpc = 8, 2
+    n = B * bpc
+    batch = {
+        'data': 0.1 * rng.randn(B, 8, 32, 32, 3).astype(np.float32),
+        'labels': (rng.rand(n, 6) > 0.5).astype(np.float32),
+        'proposals': np.stack(
+            [np.repeat(np.arange(B), bpc)]
+            + [rng.uniform(0, 32, n) for _ in range(4)], 1).astype(np.float32),
+        'box_mask': np.ones(n, np.float32),
+        'metadata': np.stack([
+            np.repeat(np.arange(B) % 4, bpc),          # video idx
+            904 + (np.arange(n) * 3) % 12,              # keyframe sec
+            np.full(n, 240), np.full(n, 320)], 1).astype(np.float32),
+    }
+    return cfg, build, batch
+
+
+def test_ava_sharded_bank_train_step_matches_replicated(eight_devices):
+    """AvaDeviceBank.choose_rows (random per-sec feature selection) routed
+    through _ShardLocalBankView.gather: the sharded-table shard_map train
+    step matches the replicated-bank step bit-for-bit given the same rng."""
+    from lfb_tpu.bank.device_bank import shard_bank
+
+    cfg, build_bank, batch_np = _ava_device_bank_fixture()
+    spec = build_spec(cfg, 'train')
+    mesh = create_mesh(8)
+
+    def run(bank):
+        params = init_params(jax.random.PRNGKey(0), spec)
+        trainable, frozen = split_params(spec, params)
+        mstate = opt.init_state(params, frozen_param_names(spec, params))
+        step = make_train_step(spec, cfg.SOLVER, mesh, bank=bank,
+                               use_shard_map=True)
+        t, f, m, aux = step(trainable, frozen, mstate,
+                            shard_batch(mesh, batch_np),
+                            jax.random.PRNGKey(3), jnp.float32(1e-5))
+        return float(aux['loss']), np.asarray(t['lfb_nl0_theta_w'])
+
+    loss_r, w_r = run(build_bank())
+    loss_s, w_s = run(shard_bank(build_bank(), mesh))
+    np.testing.assert_allclose(loss_s, loss_r, rtol=1e-5)
+    np.testing.assert_allclose(w_s, w_r, rtol=1e-4, atol=1e-7)
+
+
+def test_ava_sharded_bank_eval_step_matches_replicated(eight_devices):
+    from lfb_tpu.bank.device_bank import shard_bank
+
+    cfg, build_bank, batch_np = _ava_device_bank_fixture()
+    spec = build_spec(cfg, 'val')
+    mesh = create_mesh(8)
+    params = init_params(jax.random.PRNGKey(0), spec)
+    batch = shard_batch(mesh, {k: v for k, v in batch_np.items()
+                               if k != 'labels'})
+
+    out_r = make_eval_step(spec, mesh, bank=build_bank(),
+                           use_shard_map=True)(params, batch)
+    out_s = make_eval_step(spec, mesh, bank=shard_bank(build_bank(), mesh),
+                           use_shard_map=True)(params, batch)
+    np.testing.assert_allclose(np.asarray(out_s['logits']),
+                               np.asarray(out_r['logits']),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_sharded_bank_train_step_matches_replicated(eight_devices):
     """TPU.BANK_SHARDED: the shard_map train step with the bank's feature
     table row-sharded over the mesh (index all_gather + psum_scatter window
