@@ -149,6 +149,11 @@ class AvaDeviceBank:
         """(N,) video ids + (N,) keyframe seconds -> (N, W*K, D) windows."""
         return self.feats[self.choose_rows(video_idx, sec, rng)]
 
+    def bind_feats(self, feats: jax.Array) -> '_BoundFeatsBank':
+        """Gather view over ``feats`` passed as a traced step operand (see
+        :class:`_BoundFeatsBank`)."""
+        return _BoundFeatsBank(self, feats)
+
 
 def _cap_frame_table_width(label: str, auto_width: int, cap: int,
                            window_size: int, num_videos: int) -> int:
@@ -352,6 +357,38 @@ class FrameDeviceBank:
                end: jax.Array) -> jax.Array:
         """(N, W, D) window features (see :meth:`choose_rows`)."""
         return self.feats[self.choose_rows(video_idx, begin, end)]
+
+    def bind_feats(self, feats: jax.Array) -> '_BoundFeatsBank':
+        """Gather view over ``feats`` passed as a traced step operand (see
+        :class:`_BoundFeatsBank`)."""
+        return _BoundFeatsBank(self, feats)
+
+
+class _BoundFeatsBank:
+    """Bank view whose feature table is a TRACED operand, not a capture.
+
+    Closing a jitted step over a replicated bank embeds the feature table
+    as a lowering constant -- at real scale that is a multi-GB constant
+    baked into the HLO module (measured in the r4 rehearsal: a 3.47 GB
+    captured constant that the tunnel backend re-ships to the remote
+    compile service).  The step builders instead pass ``bank.feats`` as an
+    explicit jit argument and rebind it here; only the small int32 index
+    tables stay captured (MBs).
+    """
+
+    def __init__(self, inner, feats: jax.Array):
+        self._inner = inner
+        self._feats = feats
+
+    def gather(self, *args) -> jax.Array:
+        # AvaDeviceBank: (video_idx, sec, rng); FrameDeviceBank:
+        # (video_idx, begin, end) -- both route through choose_rows.
+        return self._feats[self._inner.choose_rows(*args)]
+
+    def gather_centers(self, video_idx: jax.Array,
+                       center: jax.Array) -> jax.Array:
+        begin, end = self._inner.window(center)
+        return self._feats[self._inner.choose_rows(video_idx, begin, end)]
 
 
 def sharded_rows_lookup(feats_local: jax.Array, rows: jax.Array,

@@ -94,10 +94,19 @@ def make_train_step(spec: ModelSpec, solver, mesh=None, bank=None,
                                          data_axis='data')
         from lfb_tpu.models.model import loss_parts
 
-        def step(trainable, frozen, mstate, batch, rng, lr):
+        def step(trainable, frozen, mstate, batch, rng, lr, feats):
             def shard_body(trainable, frozen, batch, rng, *bank_feats):
-                body_bank = (bank.local_view(bank_feats[0])
-                             if bank_feats else bank)
+                # The feature table always enters as an OPERAND (sharded
+                # P('data') or replicated P()), never as a closure capture:
+                # captured device arrays become lowering constants, which
+                # at real bank scale bakes a multi-GB constant into the
+                # HLO module (see device_bank._BoundFeatsBank).
+                if not bank_feats:
+                    body_bank = None
+                elif bank_sharded:
+                    body_bank = bank.local_view(bank_feats[0])
+                else:
+                    body_bank = bank.bind_feats(bank_feats[0])
                 rng = jax.random.fold_in(rng, jax.lax.axis_index('data'))
                 bank_rng, rng = jax.random.split(rng)
                 batch2 = _localize_proposals(batch)
@@ -130,9 +139,9 @@ def make_train_step(spec: ModelSpec, solver, mesh=None, bank=None,
             repl_spec = P()
             in_specs = (repl_spec, repl_spec, P('data'), repl_spec)
             operands = (trainable, frozen, batch, rng)
-            if bank_sharded:
-                in_specs += (P('data'),)
-                operands += (bank.feats,)
+            if feats is not None:
+                in_specs += (P('data') if bank_sharded else repl_spec,)
+                operands += (feats,)
             grads, loss, prob = shard_map(
                 shard_body, mesh=mesh,
                 in_specs=in_specs,
@@ -146,19 +155,26 @@ def make_train_step(spec: ModelSpec, solver, mesh=None, bank=None,
 
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P('data'))
-        return jax.jit(
+        feats_sharding = (NamedSharding(mesh, P('data')) if bank_sharded
+                          else repl)
+        jitted = jax.jit(
             step,
-            in_shardings=(repl, repl, repl, data, repl, repl),
+            in_shardings=(repl, repl, repl, data, repl, repl,
+                          feats_sharding),
             out_shardings=(repl, repl, repl, {'loss': repl, 'prob': data}),
             donate_argnums=(0, 1, 2),
         )
+        feats_arg = bank.feats if bank is not None else None
+        return lambda trainable, frozen, mstate, batch, rng, lr: jitted(
+            trainable, frozen, mstate, batch, rng, lr, feats_arg)
 
     assert not bank_sharded, \
         'a ShardedDeviceBank requires the shard_map step (TPU.SHARD_MAP)'
 
-    def step(trainable, frozen, mstate, batch, rng, lr):
+    def step(trainable, frozen, mstate, batch, rng, lr, feats):
         bank_rng, rng = jax.random.split(rng)
-        batch = _inject_device_bank_lfb(spec, bank, batch, bank_rng)
+        body_bank = bank.bind_feats(feats) if feats is not None else bank
+        batch = _inject_device_bank_lfb(spec, body_bank, batch, bank_rng)
 
         def loss_fn(trainable):
             params = {**trainable, **frozen}
@@ -185,18 +201,21 @@ def make_train_step(spec: ModelSpec, solver, mesh=None, bank=None,
         aux = {'loss': out['loss'], 'prob': out['prob']}
         return new_trainable, new_frozen, new_mstate, aux
 
+    feats_arg = bank.feats if bank is not None else None
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0, 1, 2))
-
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P('data'))
-    return jax.jit(
-        step,
-        in_shardings=(repl, repl, repl, data, repl, repl),
-        out_shardings=(repl, repl, repl,
-                       {'loss': repl, 'prob': data}),
-        donate_argnums=(0, 1, 2),
-    )
+        jitted = jax.jit(step, donate_argnums=(0, 1, 2))
+    else:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P('data'))
+        jitted = jax.jit(
+            step,
+            in_shardings=(repl, repl, repl, data, repl, repl, repl),
+            out_shardings=(repl, repl, repl,
+                           {'loss': repl, 'prob': data}),
+            donate_argnums=(0, 1, 2),
+        )
+    return lambda trainable, frozen, mstate, batch, rng, lr: jitted(
+        trainable, frozen, mstate, batch, rng, lr, feats_arg)
 
 
 def make_eval_step(spec: ModelSpec, mesh=None, with_loss: bool = False,
@@ -223,10 +242,17 @@ def make_eval_step(spec: ModelSpec, mesh=None, with_loss: bool = False,
         spec_local = dataclasses.replace(spec, single_device_program=True,
                                          data_axis='data')
 
-        def step(params, batch):
+        def step(params, batch, feats):
             def shard_body(params, batch, *bank_feats):
-                body_bank = (bank.local_view(bank_feats[0])
-                             if bank_feats else bank)
+                # Feature table enters as an operand, never a capture
+                # (multi-GB lowering constant otherwise; see
+                # device_bank._BoundFeatsBank).
+                if not bank_feats:
+                    body_bank = None
+                elif bank_sharded:
+                    body_bank = bank.local_view(bank_feats[0])
+                else:
+                    body_bank = bank.bind_feats(bank_feats[0])
                 batch2 = _localize_proposals(batch)
                 batch2 = _inject_device_bank_lfb(
                     spec_local, body_bank, batch2,
@@ -247,9 +273,9 @@ def make_eval_step(spec: ModelSpec, mesh=None, with_loss: bool = False,
 
             in_specs = (P(), P('data'))
             operands = (params, batch)
-            if bank_sharded:
-                in_specs += (P('data'),)
-                operands += (bank.feats,)
+            if feats is not None:
+                in_specs += (P('data') if bank_sharded else P(),)
+                operands += (feats,)
             out = shard_map(shard_body, mesh=mesh,
                             in_specs=in_specs,
                             out_specs=P('data'),
@@ -261,19 +287,27 @@ def make_eval_step(spec: ModelSpec, mesh=None, with_loss: bool = False,
 
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P('data'))
-        return jax.jit(step, in_shardings=(repl, data))
+        feats_sharding = (NamedSharding(mesh, P('data')) if bank_sharded
+                          else repl)
+        jitted = jax.jit(step, in_shardings=(repl, data, feats_sharding))
+        feats_arg = bank.feats if bank is not None else None
+        return lambda params, batch: jitted(params, batch, feats_arg)
 
     assert not bank_sharded, \
         'a ShardedDeviceBank requires the shard_map step (TPU.SHARD_MAP)'
 
-    def step(params, batch):
+    def step(params, batch, feats):
+        body_bank = bank.bind_feats(feats) if feats is not None else bank
         batch = _inject_device_bank_lfb(
-            spec, bank, batch, jax.random.PRNGKey(bank_seed))
+            spec, body_bank, batch, jax.random.PRNGKey(bank_seed))
         out = forward(spec, params, batch, train=False, rng=None)
         return _outputs(out)
 
+    feats_arg = bank.feats if bank is not None else None
     if mesh is None:
-        return jax.jit(step)
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P('data'))
-    return jax.jit(step, in_shardings=(repl, data))
+        jitted = jax.jit(step)
+    else:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P('data'))
+        jitted = jax.jit(step, in_shardings=(repl, data, repl))
+    return lambda params, batch: jitted(params, batch, feats_arg)

@@ -44,7 +44,10 @@ def force_pallas_interpret():
     pl.pallas_call = lambda *a, **k: orig_call(*a, interpret=True, **k)
 
     def force_ok(spec, enabled=None):
-        return True
+        # Bypass only the TPU-backend check; honor the spec's per-kernel
+        # switches (TPU.USE_PALLAS / TPU.PALLAS_STEM) so interpret-mode
+        # callers can attribute parity deltas kernel by kernel.
+        return spec.use_pallas if enabled is None else enabled
 
     backbone_mod.pallas_ok = force_ok
     fbo_mod.pallas_ok = force_ok
