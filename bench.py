@@ -111,6 +111,8 @@ def _timeout_handler(signum, frame):
                   'clips/sec/chip', 'TPU compile service stall'),
         'data': ('data clips/sec (JPEG decode + train preprocess + '
                  'device_put)', 'clips/sec', 'host pipeline stall'),
+        'e2e': ('e2e train clips/sec (Trainer.train)', 'clips/sec',
+                'TPU compile service stall'),
     }.get(mode, ('clips/sec/chip (bank extraction + FBO inference)',
                  'clips/sec/chip', 'TPU compile service stall'))
     print(json.dumps({
@@ -228,11 +230,12 @@ def _write_bench_frames(root: str, num_frames: int, h: int, w: int) -> str:
         open(done_marker, 'w').close()
     list_dir = os.path.join(root, 'frame_lists')
     os.makedirs(list_dir, exist_ok=True)
-    with open(os.path.join(list_dir, 'train.csv'), 'w') as f:
-        f.write('original_vido_id video_id frame_id path labels\n')
-        for i in range(num_frames):
-            f.write('BENCH00 0 {} BENCH00/frame_{:010d}.jpg ""\n'.format(
-                i, i + 1))
+    for split in ('train', 'val'):    # val list: Trainer builds both DBs
+        with open(os.path.join(list_dir, split + '.csv'), 'w') as f:
+            f.write('original_vido_id video_id frame_id path labels\n')
+            for i in range(num_frames):
+                f.write('BENCH00 0 {} BENCH00/frame_{:010d}.jpg ""\n'.format(
+                    i, i + 1))
     return list_dir
 
 
@@ -324,6 +327,105 @@ def bench_data(batch_clips: int, iters: int, worker_counts=None):
     }))
 
 
+def bench_e2e(batch_clips: int, iters: int):
+    """``python bench.py e2e [B] [iters]``: full Trainer.train() throughput
+    over synthetic JPEGs on the chip -- JPEG decode + preprocess + prefetch
+    + device_put overlapped with the jitted train step (the replaced
+    reference pipeline: BlobsQueue + RunNet, ``dataloader.py:241-318`` +
+    ``train_net.py:148-176``).
+
+    Reports the steady-state e2e rate (first log period excluded: compile +
+    prefetch fill) plus the host-only and device-only rates measured in the
+    same process, and the overlap ratio: 1.0 = the slower side fully hides
+    the faster one (step time == max(host, device)); 0.0 = fully serial
+    (step time == host + device).
+    """
+    import jax
+    import jax.numpy as jnp
+    from lfb_tpu.core.config import default_config, finalize
+    from lfb_tpu.train.trainer import Trainer
+
+    root = '/tmp/lfb_data_bench'
+    t_len, rate = 32, 2
+    list_dir = _write_bench_frames(root, num_frames=t_len * rate * 2,
+                                   h=256, w=340)
+    warm = 5
+    cfg = default_config()
+    cfg.DATASET = 'charades'
+    cfg.DATADIR = os.path.join(root, 'frames')
+    cfg.CHARADES.FRAME_LIST_DIR = list_dir
+    cfg.MODEL.NUM_CLASSES = 157
+    cfg.MODEL.DEPTH = 50
+    cfg.MODEL.VIDEO_ARC_CHOICE = 2
+    cfg.MODEL.MULTI_LABEL = True
+    cfg.MODEL.USE_AFFINE = True
+    cfg.NONLOCAL.USE_BN = False
+    cfg.NONLOCAL.USE_AFFINE = True
+    cfg.TRAIN.VIDEO_LENGTH = t_len
+    cfg.TRAIN.SAMPLE_RATE = rate
+    cfg.TRAIN.CROP_SIZE = 224
+    cfg.TRAIN.BATCH_SIZE = batch_clips
+    cfg.TRAIN.EVAL_PERIOD = 10 ** 9
+    cfg.CHECKPOINT.CHECKPOINT_PERIOD = 0
+    cfg.LOG_PERIOD = warm
+    # Throughput bench, not a convergence run: from-scratch init in affine
+    # (frozen-BN) mode has no normalization, so one SGD step at the
+    # fine-tuning default BASE_LR=0.1 explodes the net (NaN at iter 1 on
+    # the first chip run).  Use the same tame LR as bench_train.
+    cfg.SOLVER.BASE_LR = 1e-4
+    cfg.SOLVER.MAX_ITER = warm + iters
+    cfg.NUM_GPUS = 1
+    cfg.TPU.REMAT = ''
+    cfg = finalize(cfg)
+
+    out_dir = os.path.join(root, 'e2e_run')
+    trainer = Trainer(cfg, output_dir=out_dir)
+    # Benchmark only: skip the 100+ MB end-of-run checkpoint pickle.
+    trainer.save_checkpoint = lambda cur_iter: '(skipped for bench)'
+    _rearm_watchdog()
+    trainer.train()
+    e2e = trainer.steady_clips_per_sec
+    _rearm_watchdog()
+
+    # Host-only: the same loader pipeline, no device involvement.
+    t0 = time.perf_counter()
+    for _ in trainer.train_loader.batches(num_batches=iters):
+        pass
+    host_only = batch_clips * iters / (time.perf_counter() - t0)
+
+    # Device-only: the jitted step re-fed one resident batch.
+    from lfb_tpu.parallel import shard_batch
+    batch = shard_batch(trainer.mesh, next(iter(
+        trainer.train_loader.batches(num_batches=1))))
+    state = (trainer.trainable, trainer.frozen, trainer.mstate)
+    out = trainer.train_step(*state, batch, jax.random.PRNGKey(0),
+                             jnp.float32(1e-4))
+    state = out[:3]
+    float(out[3]['loss'])
+    _rearm_watchdog()
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = trainer.train_step(*state, batch, jax.random.PRNGKey(i),
+                                 jnp.float32(1e-4))
+        state = out[:3]
+    float(out[3]['loss'])
+    device_only = batch_clips * iters / (time.perf_counter() - t0)
+    trainer.train_loader.shutdown()
+    trainer.test_loader.shutdown()
+
+    t_h, t_d, t_e = 1.0 / host_only, 1.0 / device_only, 1.0 / max(e2e, 1e-9)
+    overlap = (t_h + t_d - t_e) / min(t_h, t_d)
+    print(json.dumps({
+        'metric': 'e2e train clips/sec (Trainer.train: JPEG decode + '
+                  'preprocess + device_put + fwd+bwd+SGD, {} vCPU)'.format(
+                      os.cpu_count()),
+        'value': round(e2e, 2), 'unit': 'clips/sec', 'vs_baseline': None,
+        'host_only_clips_per_sec': round(host_only, 2),
+        'device_only_clips_per_sec': round(device_only, 2),
+        'overlap_ratio': round(overlap, 3),
+    }))
+
+
 def main():
     global _WATCHDOG_ARMED
     signal.signal(signal.SIGALRM, _timeout_handler)
@@ -343,6 +445,11 @@ def main():
         bench_data(int(rest[0]) if rest else 8,
                    int(rest[1]) if len(rest) > 1 else 10,
                    worker_counts=worker_counts)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == 'e2e':
+        run_with_retries(
+            lambda: bench_e2e(int(sys.argv[2]) if len(sys.argv) > 2 else 8,
+                              int(sys.argv[3]) if len(sys.argv) > 3 else 20))
         return
     if len(sys.argv) > 1 and sys.argv[1] == 'train':
         run_with_retries(

@@ -235,6 +235,14 @@ class Trainer:
         log_period = max(1, cfg.LOG_PERIOD)
         t_start = time.time()
         pending = []  # (iter, aux, labels, lr) not yet pulled to host
+        # Per-iteration wall clock (reference ``Timer`` around every step,
+        # ``metrics.py:348-366``) + a steady-state window that excludes the
+        # first log period (jit compile + pipeline fill), so e2e throughput
+        # is measurable from the outside (bench.py e2e).
+        from lfb_tpu.utils.timer import Timer
+        self.iter_timer = Timer()
+        steady = {'t0': None, 'start': None}
+        self.steady_clips_per_sec = 0.0
 
         def drain():
             for it, aux, labels, lr in pending:
@@ -264,6 +272,7 @@ class Trainer:
             if cfg.PROF_DAG and cur_iter == self.start_iter + 4:
                 jax.profiler.stop_trace()
                 logger.info('Profile trace written to /tmp/lfb_tpu_trace')
+            self.iter_timer.tic()
             lr = self._update_lr(cur_iter)
             labels, batch = next(train_iter)
             self.trainable, self.frozen, self.mstate, aux = self.train_step(
@@ -271,9 +280,14 @@ class Trainer:
                 jax.random.PRNGKey(cfg.RNG_SEED * 1000003 + cur_iter),
                 jnp.float32(lr))
             pending.append((cur_iter, aux, labels, lr))
+            self.iter_timer.toc()
 
             if (cur_iter + 1) % log_period == 0:
                 drain()
+                if steady['t0'] is None:
+                    # First drain done: compile + prefetch fill are behind us.
+                    steady['t0'] = time.time()
+                    steady['start'] = cur_iter + 1
                 elapsed = time.time() - t_start
                 done = cur_iter + 1 - self.start_iter
                 eta = elapsed / done * (cfg.SOLVER.MAX_ITER - cur_iter - 1)
@@ -302,6 +316,10 @@ class Trainer:
                 self.train_meter.reset()
 
         drain()
+        if steady['t0'] is not None and cfg.SOLVER.MAX_ITER > steady['start']:
+            self.steady_clips_per_sec = (
+                (cfg.SOLVER.MAX_ITER - steady['start'])
+                * cfg.TRAIN.BATCH_SIZE / (time.time() - steady['t0']))
         self.train_loader.shutdown()
         self.test_loader.shutdown()
         return last_checkpoint

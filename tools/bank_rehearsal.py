@@ -27,8 +27,10 @@ arithmetic with measurement.
 """
 
 import argparse
+import contextlib
 import json
 import os
+import signal
 import sys
 import time
 
@@ -85,7 +87,7 @@ def synthesize_charades_host_bank(num_videos: int, seed: int = 0):
     ~60 entries/video; ``lib/datasets/charades.py:235-248``).
     """
     rng = np.random.default_rng(seed)
-    per_video = rng.integers(20, 120, size=num_videos)
+    per_video = rng.integers(20, 90, size=num_videos)   # ~55 avg -> ~4.4 GB
     per_video[0] = 600   # one outlier-length video (the table-sizing case)
     total = int(per_video.sum())
     feats = np.abs(rng.standard_normal((total, 2048), np.float32)) * 0.5
@@ -104,8 +106,9 @@ def build_device_bank_timed(cfg, host_bank):
     import jax
     from lfb_tpu.bank.device_bank import build_device_bank
     t0 = time.perf_counter()
-    bank = build_device_bank(cfg, host_bank)
-    jax.block_until_ready(bank.feats)
+    with phase_deadline('bank build/transfer'):
+        bank = build_device_bank(cfg, host_bank)
+        jax.block_until_ready(bank.feats)
     dt = time.perf_counter() - t0
     feat_gb = bank.feats.size * bank.feats.dtype.itemsize / GB
     if hasattr(bank, 'table'):
@@ -169,6 +172,27 @@ def make_batch(cfg, spec, batch_clips: int, num_videos: int, seed: int = 0):
     return batch
 
 
+PHASE_TIMEOUT_S = int(os.environ.get('LFB_BENCH_TIMEOUT_S', '900'))
+
+
+@contextlib.contextmanager
+def phase_deadline(label: str):
+    """Bound one compile+measure phase: the remote compile service has
+    observed outage windows (BENCH_r01; a 40+ min stall on this very tool's
+    first run), and a stalled phase must fail loudly instead of eating the
+    whole rehearsal."""
+    def on_alarm(signum, frame):
+        raise TimeoutError('{} exceeded {}s (remote compile stall?)'.format(
+            label, PHASE_TIMEOUT_S))
+    prev = signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(PHASE_TIMEOUT_S)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, prev)
+
+
 def _is_oom(exc) -> bool:
     msg = '{}: {}'.format(type(exc).__name__, exc).lower()
     return 'resource_exhausted' in msg or 'out of memory' in msg or \
@@ -208,15 +232,20 @@ def run_inference_ladder(cfg, bank, num_videos, batches, iters, sharded):
                               use_shard_map=sharded)
         batch = make_batch(cfg, spec, b, num_videos)
         try:
-            t0 = time.perf_counter()
-            dt = time_step(step, params, batch, iters)
-            compile_s = time.perf_counter() - t0 - dt * iters
+            with phase_deadline('inference B={}'.format(b)):
+                t0 = time.perf_counter()
+                dt = time_step(step, params, batch, iters)
+                compile_s = time.perf_counter() - t0 - dt * iters
             cps = b / dt
             logger.info('B=%d: %.1f clips/sec/chip (%.0f ms/step, compile '
                         '%.0fs)', b, cps, dt * 1e3, compile_s)
             results.append({'batch': b, 'clips_per_sec': round(cps, 2),
                             'ms_per_step': round(dt * 1e3, 1)})
             break   # descending ladder: first fit is the answer
+        except TimeoutError as e:
+            logger.warning('%s; aborting this ladder', e)
+            results.append({'batch': b, 'stall': True})
+            break
         except Exception as e:
             if not _is_oom(e):
                 raise
@@ -241,7 +270,12 @@ def run_extract(cfg, num_videos, batches, iters):
         batch = make_batch(cfg, spec, b, num_videos)
         batch.pop('metadata', None)
         try:
-            dt = time_step(step, params, batch, iters)
+            with phase_deadline('extract B={}'.format(b)):
+                dt = time_step(step, params, batch, iters)
+        except TimeoutError as e:
+            logger.warning('%s; aborting extraction ladder', e)
+            out.append({'batch': b, 'stall': True})
+            break
         except Exception as e:
             if not _is_oom(e):
                 raise

@@ -12,6 +12,9 @@ failure.  Checks:
   5. shard_map train step with the compiled Pallas kernels (stem fwd +
      dW, fused NL attention) under check_vma, and its updated conv1_w
      matches the all-XLA auto-sharded step.
+  6. TPU.BANK_SHARDED eval on a real-chip mesh: the row-sharded device
+     bank (index all_gather + psum_scatter window reassembly) matches the
+     replicated-bank gather bit-for-bit.
 """
 
 import os
@@ -147,6 +150,31 @@ def main():
     check('shard_map Pallas conv1_w update == XLA step',
           dmax < 2e-2 * max(scale, 1e-3),
           'max abs diff %.2e (scale %.2e)' % (dmax, scale))
+
+    # 6: sharded device bank on the real-chip mesh (degenerate 1-device
+    # shard: still compiles + runs the all_gather / psum_scatter window
+    # reassembly on TPU, ``bank/device_bank.py:383-405``).
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from lfb_tpu.bank.device_bank import AvaDeviceBank, shard_bank
+    host_bank = {v: {902 + s: [rng.randn(2048).astype(np.float32)
+                               for _ in range(1 + (v + s) % 3)]
+                     for s in range(0, 12, 2)} for v in range(4)}
+    bank = AvaDeviceBank.build(host_bank, window_size=4, k=2)
+    vid = jnp.asarray(rng.randint(0, 4, 8), jnp.int32)
+    sec = jnp.full((8,), 906, jnp.int32)
+    ref = bank.gather(vid, sec, jax.random.PRNGKey(3))
+    sharded = shard_bank(bank, mesh)
+
+    def body(vid, sec, feats):
+        return sharded.local_view(feats).gather(vid, sec,
+                                                jax.random.PRNGKey(3))
+
+    out = jax.jit(shard_map(
+        body, mesh=mesh, in_specs=(P('data'), P('data'), P('data')),
+        out_specs=P('data')))(vid, sec, sharded.feats)
+    d = float(jnp.abs(out - ref).max())
+    check('sharded device bank on TPU mesh', d == 0.0, 'max diff %.1e' % d)
 
     print('TPU smoke: all checks passed')
 
