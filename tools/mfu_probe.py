@@ -12,8 +12,11 @@ tool names the ops responsible:
            conv3d / conv1x1 / attention, dedupes the op signatures, and
            microbenches each on the chip at both shape regimes ->
            per-op MFU table sorted by train-shape time share.
+  flat  -- A/B: the worst pointwise/temporal convs as lax.conv vs a
+           flattened (B*T*H*W, C) MXU matmul, testing the hypothesis
+           that crop-224's 14x14 spatial tiles are the waste.
 
-Usage:  python tools/mfu_probe.py [grid|conv|all]
+Usage:  python tools/mfu_probe.py [grid|conv|flat|all]
 
 Reference hot loop being attributed: the reference never measured MFU
 at all (``/root/reference/tools/train_net.py:148-176`` logs wall-clock
@@ -318,12 +321,76 @@ def run_conv():
     sys.stdout.flush()
 
 
+# ---------------------------------------------------------------- flat
+
+# The per-op table's worst train-shape offenders: pointwise projections
+# and kTx1x1 temporal convs at the crop-224 res-stage widths.
+# (label, B, T, H, W, Cin, Cout, kT)
+FLAT_CASES = [
+    ('res2 2a 3x1x1', 8, 32, 56, 56, 256, 64, 3),
+    ('res2 2c 1x1x1', 8, 32, 56, 56, 64, 256, 1),
+    ('res3 2a 3x1x1', 8, 16, 28, 28, 512, 128, 3),
+    ('res3 2c 1x1x1', 8, 16, 28, 28, 128, 512, 1),
+    ('res4 2a 3x1x1', 8, 16, 14, 14, 1024, 256, 3),
+    ('res4 2c 1x1x1', 8, 16, 14, 14, 256, 1024, 1),
+    ('res5 2a 3x1x1', 8, 16, 14, 14, 2048, 512, 3),
+    ('res5 2c 1x1x1', 8, 16, 14, 14, 512, 2048, 1),
+    # crop-256 control: same res4 case at 16x16 spatial
+    ('res4 2c @16x16', 8, 16, 16, 16, 256, 1024, 1),
+]
+
+
+def _flat_1x1(x, w):
+    """kTx1x1 conv expressed as (B*T*H*W, Cin) @ (Cin, Cout) matmuls
+    (one shifted matmul per temporal tap), removing all spatial tiling."""
+    import jax.numpy as jnp
+    B, T, H, W, C = x.shape
+    kt = w.shape[0]
+    w2 = w.reshape(kt, w.shape[3], w.shape[4])
+    if kt == 1:
+        return (x.reshape(-1, C) @ w2[0]).reshape(B, T, H, W, -1)
+    pad = kt // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
+    y = None
+    for k in range(kt):
+        term = xp[:, k:k + T].reshape(-1, C) @ w2[k]
+        y = term if y is None else y + term
+    return y.reshape(B, T, H, W, -1)
+
+
+def run_flat():
+    import jax
+    import jax.numpy as jnp
+    from lfb_tpu.ops.conv3d import conv3d
+
+    print('| case | conv ms (MFU) | flat ms (MFU) | speedup |')
+    print('|---|---|---|---|')
+    for label, B, T, H, W, Ci, Co, kT in FLAT_CASES:
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (B, T, H, W, Ci), jnp.bfloat16)
+        w = jax.random.normal(key, (kT, 1, 1, Ci, Co), jnp.bfloat16) * 0.05
+        fl = 2.0 * B * T * H * W * Ci * Co * kT
+        conv_fn = lambda x, w: conv3d(x, w, padding=(kT // 2, 0, 0))
+        t_conv = _timed(conv_fn, (x, w), 30)
+        t_flat = _timed(_flat_1x1, (x, w), 30)
+        a = np.asarray(conv_fn(x, w), np.float32)
+        b = np.asarray(_flat_1x1(x, w), np.float32)
+        err = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+        print('| {} | {:.2f} ({:.0%}) | {:.2f} ({:.0%}) | {:.2f}x err={:.1e} |'
+              .format(label, t_conv * 1e3, fl / t_conv / PEAK_FLOPS,
+                      t_flat * 1e3, fl / t_flat / PEAK_FLOPS,
+                      t_conv / t_flat, err))
+        sys.stdout.flush()
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else 'all'
     if mode in ('grid', 'all'):
         run_grid()
     if mode in ('conv', 'all'):
         run_conv()
+    if mode in ('flat', 'all'):
+        run_flat()
 
 
 if __name__ == '__main__':
