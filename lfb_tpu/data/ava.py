@@ -207,8 +207,17 @@ class AvaDataset:
                              np.float32)
                     if self.lfb_enabled and not self.device_bank else None)
 
-        row = 0
+        # Box rows are CLIP-ALIGNED: clip b owns rows [b*max_boxes,
+        # (b+1)*max_boxes), padding interleaved per clip rather than packed
+        # at the tail.  Required by the shard_map data-parallel step, which
+        # shards both 'data' (by clip) and the box blobs (by row) on their
+        # leading axes and assumes device d's box rows reference device d's
+        # clips only (steps._localize_proposals).  A tail-packed layout put
+        # clip-3 boxes on device 1 and silently corrupted every sharded
+        # box_pooled sweep.  All consumers filter by box_mask, not by
+        # contiguity (eval/metrics.py:132, models/model.py:148).
         for b, idx in enumerate(indices):
+            row = b * max_boxes
             if self.split == 'train':
                 idx = int(rng.integers(len(self.keyframe_indices)))
             video_idx, sec, center_idx = self.keyframe_indices[idx]

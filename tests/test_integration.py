@@ -470,6 +470,100 @@ def test_epic_noun_device_bank_and_action_combination(tmp_path):
         assert 0.0 <= results[key] <= 100.0, (key, results)
 
 
+def _assert_banks_equal(a, b):
+    """Same key structure, same per-sec feature ordering; values allclose.
+
+    Tolerance is loose-ish (5e-3 rel) because the sharded layout changes
+    XLA's fusion choices on CPU -- an ORDERING bug (the actual risk) would
+    swap whole 2048-d features and blow past any tolerance."""
+    assert set(a) == set(b)
+    for v in a:
+        assert set(a[v]) == set(b[v]), v
+        for k in a[v]:
+            fa, fb = a[v][k], b[v][k]
+            if isinstance(fa, list):
+                assert len(fa) == len(fb), (v, k)
+                for x, y in zip(fa, fb):
+                    np.testing.assert_allclose(x, y, rtol=5e-3, atol=1e-4)
+            else:
+                np.testing.assert_allclose(fa, fb, rtol=5e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize('use_shard_map', [False, True])
+def test_ava_get_lfb_multi_device_matches_single(tmp_path, use_shard_map):
+    """Bank extraction under an 8-device mesh == single-device bank.
+
+    The reference's bank sweep was 8-GPU (``tools/lfb_loader.py:203-220``);
+    the risk in the mesh path is sharded `box_pooled` output ordering and
+    padded-row mask handling during `construct_ava_lfb` reassembly --
+    an ordering bug would silently corrupt every downstream bank.
+    B=8 over 2 videos x 4 secs = exactly one full global batch, with
+    the per-box rows (B*4) sharded 4-per-device.
+    """
+    from lfb_tpu.bank import get_lfb
+    from lfb_tpu.parallel import create_mesh
+
+    cfg = tiny_cfg(synthetic.build_ava(str(tmp_path)))
+    cfg.CHECKPOINT.DIR = str(tmp_path / 'out')
+    os.makedirs(cfg.CHECKPOINT.DIR, exist_ok=True)
+    cfg.TEST.DATA_TYPE = 'val'
+    cfg.TRAIN.BATCH_SIZE = 8
+    cfg.TEST.BATCH_SIZE = 8
+    cfg.NUM_GPUS = 8
+    cfg.LFB.ENABLED = True
+    cfg.LFB.WINDOW_SIZE = 3
+    cfg.TPU.SHARD_MAP = use_shard_map
+    C.finalize(cfg)
+
+    from lfb_tpu.models import build_spec, init_params
+    from lfb_tpu.train import checkpoints as ckpt
+    base_spec = build_spec(cfg, 'val', lfb_infer_only=True)
+    base_params = {k: np.asarray(v) for k, v in init_params(
+        jax.random.PRNGKey(0), base_spec).items()}
+    base_file = str(tmp_path / 'baseline.pkl')
+    ckpt.save_params(base_file, base_params, model_iter=0, lr=0.01)
+
+    bank_single = get_lfb(cfg, base_file, is_train=False)
+    bank_mesh = get_lfb(cfg, base_file, is_train=False, mesh=create_mesh(8))
+    assert bank_single, 'empty bank -- sweep produced nothing'
+    _assert_banks_equal(bank_single, bank_mesh)
+
+
+def test_charades_get_lfb_multi_device_matches_single(tmp_path):
+    """Frame-level bank sweep under the mesh: 2 videos x 3 bank clips = 6
+    real clips padded to one global batch of 8; the padded duplicate rows
+    must be dropped by `construct_frame_level_lfb` identically to the
+    single-device sweep (reference ``lfb_loader.py:51-78``)."""
+    from lfb_tpu.bank import get_lfb
+    from lfb_tpu.parallel import create_mesh
+
+    cfg = tiny_cfg(synthetic.build_charades(str(tmp_path)))
+    cfg.CHECKPOINT.DIR = str(tmp_path / 'out')
+    os.makedirs(cfg.CHECKPOINT.DIR, exist_ok=True)
+    cfg.TEST.DATA_TYPE = 'val'
+    cfg.TRAIN.BATCH_SIZE = 8
+    cfg.TEST.BATCH_SIZE = 8
+    cfg.NUM_GPUS = 8
+    cfg.LFB.ENABLED = True
+    cfg.LFB.FBO_TYPE = 'nl'
+    cfg.LFB.WINDOW_SIZE = 4
+    C.finalize(cfg)
+
+    from lfb_tpu.models import build_spec, init_params
+    from lfb_tpu.train import checkpoints as ckpt
+    base_spec = build_spec(cfg, 'val', lfb_infer_only=True)
+    base_params = {k: np.asarray(v) for k, v in init_params(
+        jax.random.PRNGKey(0), base_spec).items()}
+    base_file = str(tmp_path / 'baseline.pkl')
+    ckpt.save_params(base_file, base_params, model_iter=0, lr=0.01)
+
+    bank_single = get_lfb(cfg, base_file, is_train=False)
+    bank_mesh = get_lfb(cfg, base_file, is_train=False, mesh=create_mesh(8))
+    assert len(bank_single) == 2
+    assert all(len(v) == 3 for v in bank_single.values())
+    _assert_banks_equal(bank_single, bank_mesh)
+
+
 def test_ava_multicrop_with_device_bank(tmp_path):
     """The combined protocol: multi-crop orchestration (2 flips x 1 scale x
     3 shifts) with per-(flip,scale) bank re-inference AND the HBM-resident

@@ -342,20 +342,26 @@ FLAT_CASES = [
 
 def _flat_1x1(x, w):
     """kTx1x1 conv expressed as (B*T*H*W, Cin) @ (Cin, Cout) matmuls
-    (one shifted matmul per temporal tap), removing all spatial tiling."""
+    (one shifted matmul per temporal tap), removing all spatial tiling.
+
+    Taps accumulate in f32 (preferred_element_type) to match conv3d's
+    in-conv f32 accumulation, so the A/B is numerics-matched."""
     import jax.numpy as jnp
+    from jax import lax
     B, T, H, W, C = x.shape
     kt = w.shape[0]
     w2 = w.reshape(kt, w.shape[3], w.shape[4])
+    mm = lambda a, b: lax.dot(a, b, preferred_element_type=jnp.float32)
     if kt == 1:
-        return (x.reshape(-1, C) @ w2[0]).reshape(B, T, H, W, -1)
+        y = mm(x.reshape(-1, C), w2[0])
+        return y.astype(x.dtype).reshape(B, T, H, W, -1)
     pad = kt // 2
     xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
     y = None
     for k in range(kt):
-        term = xp[:, k:k + T].reshape(-1, C) @ w2[k]
+        term = mm(xp[:, k:k + T].reshape(-1, C), w2[k])
         y = term if y is None else y + term
-    return y.reshape(B, T, H, W, -1)
+    return y.astype(x.dtype).reshape(B, T, H, W, -1)
 
 
 def run_flat():
@@ -376,10 +382,14 @@ def run_flat():
         a = np.asarray(conv_fn(x, w), np.float32)
         b = np.asarray(_flat_1x1(x, w), np.float32)
         err = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
-        print('| {} | {:.2f} ({:.0%}) | {:.2f} ({:.0%}) | {:.2f}x err={:.1e} |'
+        # bf16 inputs + f32 accumulation on both sides: anything beyond
+        # ~2e-2 relative means the flat rewrite's semantics drifted and
+        # the speedup column is bogus -- flag the row loudly.
+        flag = '  <-- MISMATCH, row invalid' if err > 2e-2 else ''
+        print('| {} | {:.2f} ({:.0%}) | {:.2f} ({:.0%}) | {:.2f}x err={:.1e} |{}'
               .format(label, t_conv * 1e3, fl / t_conv / PEAK_FLOPS,
                       t_flat * 1e3, fl / t_flat / PEAK_FLOPS,
-                      t_conv / t_flat, err))
+                      t_conv / t_flat, err, flag))
         sys.stdout.flush()
 
 
