@@ -376,6 +376,13 @@ def bench_e2e(batch_clips: int, iters: int):
     cfg.SOLVER.MAX_ITER = warm + iters
     cfg.NUM_GPUS = 1
     cfg.TPU.REMAT = ''
+    # Production input path: uint8 host pipeline + on-device normalize.
+    # The float path ships 154 MB/batch (B=8, 32x224^2 f32) through the
+    # host->device link -- on the tunneled dev backend that transfer alone
+    # (~0.6 s) dominated the step and measured overlap_ratio NEGATIVE
+    # (e2e 7.5 vs host-only 23.9 clips/sec, r5).  uint8 is 4x smaller and
+    # XLA fuses (x/255-mean)/std into the stem (BENCHMARKS.md data table).
+    cfg.TPU.DEVICE_NORMALIZE = True
     cfg = finalize(cfg)
 
     out_dir = os.path.join(root, 'e2e_run')
@@ -387,10 +394,14 @@ def bench_e2e(batch_clips: int, iters: int):
     e2e = trainer.steady_clips_per_sec
     _rearm_watchdog()
 
-    # Host-only: the same loader pipeline, no device involvement.
+    # Host-only: the same loader pipeline INCLUDING the host->device batch
+    # transfer (device_put + sync) -- everything the e2e loop's host side
+    # must do, so overlap_ratio compares like with like.  Excluding the
+    # transfer made the three-way identity unsatisfiable (negative ratio)
+    # on tunneled backends where the transfer is a real cost.
     t0 = time.perf_counter()
-    for _ in trainer.train_loader.batches(num_batches=iters):
-        pass
+    for b in trainer.train_loader.batches(num_batches=iters):
+        jax.device_put(b['data']).block_until_ready()
     host_only = batch_clips * iters / (time.perf_counter() - t0)
 
     # Device-only: the jitted step re-fed one resident batch.
@@ -518,15 +529,80 @@ def _run_inference_bench(cfg, batch_clips, iters, boxes_per_clip):
                                    (data, extract_params, proposals), iters)
     dt_infer = timed_device_loop(infer_step,
                                  (data, params, proposals, lfb), iters)
+    print('# phase split B={}: extract {:.1f} ms ({:.1f} clips/s), infer '
+          '{:.1f} ms ({:.1f} clips/s)'.format(
+              batch_clips, dt_extract * 1e3, batch_clips / dt_extract,
+              dt_infer * 1e3, batch_clips / dt_infer), file=sys.stderr)
 
     # The two-phase flow processes each clip once per phase.
-    clips_per_sec = 2 * batch_clips / (dt_extract + dt_infer)
-    print(json.dumps({
-        'metric': 'clips/sec/chip (bank extraction + FBO inference)',
-        'value': round(clips_per_sec, 2),
+    toy_clips_per_sec = 2 * batch_clips / (dt_extract + dt_infer)
+
+    # Honest headline: re-run phase B against a REAL-SCALE resident bank
+    # (235 AVA videos, ~3.2 GB f32 in HBM, matching the reference's
+    # published bank size, ``GETTING_STARTED.md:45``) with on-device
+    # window gather -- the number a production user sees.  The toy-window
+    # figure (per-example 300-row lfb blob) is kept as a secondary field.
+    del lfb   # free the ~0.5 GB toy window blob before the bank claims HBM
+    result = {
+        'metric': 'clips/sec/chip (bank extraction + FBO inference, '
+                  'real-scale resident device bank)',
         'unit': 'clips/sec/chip',
-        'vs_baseline': round(clips_per_sec / REFERENCE_CLIPS_PER_SEC_PER_GPU, 2),
-    }))
+        'toy_window_clips_per_sec': round(toy_clips_per_sec, 2),
+    }
+    try:
+        dt_real, bank_gb = _real_bank_infer_phase(cfg, batch_clips, iters,
+                                                  params)
+        clips_per_sec = 2 * batch_clips / (dt_extract + dt_real)
+        result['bank_gb'] = round(bank_gb, 2)
+    except Exception as e:  # noqa: BLE001 - headline must still emit
+        print('# real-bank phase failed ({}); falling back to toy-window '
+              'headline'.format(str(e).split('\n')[0][:200]), file=sys.stderr)
+        clips_per_sec = toy_clips_per_sec
+        result['metric'] = ('clips/sec/chip (bank extraction + FBO '
+                            'inference, toy window fallback)')
+        result['real_bank_error'] = str(e).split('\n')[0][:200]
+    result['value'] = round(clips_per_sec, 2)
+    result['vs_baseline'] = round(
+        clips_per_sec / REFERENCE_CLIPS_PER_SEC_PER_GPU, 2)
+    print(json.dumps(result))
+
+
+def _real_bank_infer_phase(cfg, batch_clips, iters, params):
+    """Phase B at real bank scale: synthesize the 235-video AVA host bank
+    (~3.2 GB f32), build the HBM-resident ``AvaDeviceBank`` through the
+    real path, and time the device-bank eval step (metadata-keyed window
+    gather).  Returns (sec/step, bank_gb).  Reuses tools/bank_rehearsal.py
+    (whose r4 chip runs recorded 132.4 clips/sec/chip at this scale)."""
+    import gc
+    import jax
+    from lfb_tpu.bank.device_bank import build_device_bank
+    from lfb_tpu.core.config import clone
+    from lfb_tpu.models import build_spec
+    from lfb_tpu.train.steps import make_eval_step
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), 'tools'))
+    import bank_rehearsal as br
+
+    num_videos = 235
+    host_bank, _total = br.synthesize_ava_host_bank(num_videos,
+                                                    fast_fill=True)
+    _rearm_watchdog()
+    cfg2 = clone(cfg, {'TPU.DEVICE_BANK': True})
+    bank = build_device_bank(cfg2, host_bank)
+    jax.block_until_ready(bank.feats)
+    bank_gb = bank.feats.size * bank.feats.dtype.itemsize / float(2 ** 30)
+    del host_bank
+    gc.collect()
+    _rearm_watchdog()
+
+    # Same weights as the toy phase (the device bank changes no params).
+    spec = build_spec(cfg2, 'test')
+    step = make_eval_step(spec, bank=bank)
+    batch = br.make_batch(cfg2, spec, batch_clips, num_videos)
+    dt = br.time_step(step, params, batch, iters)
+    _rearm_watchdog()
+    return dt, bank_gb
 
 
 if __name__ == '__main__':

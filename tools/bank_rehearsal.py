@@ -46,7 +46,8 @@ logger = logging.getLogger('bank_rehearsal')
 GB = float(2 ** 30)
 
 
-def synthesize_ava_host_bank(num_videos: int, seed: int = 0):
+def synthesize_ava_host_bank(num_videos: int, seed: int = 0,
+                             fast_fill: bool = False):
     """AVA-realistic host bank: {video: {sec: [feat, ...]}}.
 
     Real AVA train banks hold detector-box features for ~235 videos over
@@ -56,6 +57,11 @@ def synthesize_ava_host_bank(num_videos: int, seed: int = 0):
     auto-``k_store`` table sizing), features ReLU-like half-normals --
     ~420k x 2048 f32 ~= 3.3 GB, matching the published bank size
     (``GETTING_STARTED.md:45``).
+
+    ``fast_fill`` tiles one 4096-row random block instead of drawing 860M
+    normals (which took 300s under co-tenant CPU steal on the 1-vCPU
+    container) -- identical shapes/footprint, repeated content; used by
+    ``bench.py``'s real-bank headline phase where only throughput matters.
     """
     from lfb_tpu.bank.device_bank import AVA_NUM_SECS, AVA_SEC_BASE
     rng = np.random.default_rng(seed)
@@ -63,7 +69,11 @@ def synthesize_ava_host_bank(num_videos: int, seed: int = 0):
     total = int(counts.sum())
     t0 = time.perf_counter()
     # One bulk draw, then views: per-feature draws would dominate runtime.
-    feats = np.abs(rng.standard_normal((total, 2048), np.float32)) * 0.5
+    if fast_fill:
+        block = np.abs(rng.standard_normal((4096, 2048), np.float32)) * 0.5
+        feats = np.tile(block, (-(-total // 4096), 1))[:total]
+    else:
+        feats = np.abs(rng.standard_normal((total, 2048), np.float32)) * 0.5
     bank = {}
     pos = 0
     for v in range(num_videos):
