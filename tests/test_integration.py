@@ -564,6 +564,40 @@ def test_charades_get_lfb_multi_device_matches_single(tmp_path):
     _assert_banks_equal(bank_single, bank_mesh)
 
 
+def test_epic_get_lfb_multi_device_matches_single(tmp_path):
+    """EPIC frame-level sweep under the mesh: the bank is keyed by VIDEO
+    NAME via db.annotations (unlike Charades' index keying), so padded-row
+    dedup walks a different metadata list (reference
+    ``lfb_loader.py:51-78``)."""
+    from lfb_tpu.bank import get_lfb
+    from lfb_tpu.parallel import create_mesh
+
+    cfg = tiny_cfg(synthetic.build_epic(str(tmp_path)))
+    cfg.CHECKPOINT.DIR = str(tmp_path / 'out')
+    os.makedirs(cfg.CHECKPOINT.DIR, exist_ok=True)
+    cfg.TEST.DATA_TYPE = 'val'
+    cfg.TRAIN.BATCH_SIZE = 8
+    cfg.TEST.BATCH_SIZE = 8
+    cfg.NUM_GPUS = 8
+    cfg.LFB.ENABLED = True
+    cfg.LFB.FBO_TYPE = 'nl'
+    cfg.LFB.WINDOW_SIZE = 4
+    C.finalize(cfg)
+
+    from lfb_tpu.models import build_spec, init_params
+    from lfb_tpu.train import checkpoints as ckpt
+    base_spec = build_spec(cfg, 'val', lfb_infer_only=True)
+    base_params = {k: np.asarray(v) for k, v in init_params(
+        jax.random.PRNGKey(0), base_spec).items()}
+    base_file = str(tmp_path / 'baseline.pkl')
+    ckpt.save_params(base_file, base_params, model_iter=0, lr=0.01)
+
+    bank_single = get_lfb(cfg, base_file, is_train=False)
+    bank_mesh = get_lfb(cfg, base_file, is_train=False, mesh=create_mesh(8))
+    assert bank_single, 'empty bank -- sweep produced nothing'
+    _assert_banks_equal(bank_single, bank_mesh)
+
+
 def test_ava_multicrop_with_device_bank(tmp_path):
     """The combined protocol: multi-crop orchestration (2 flips x 1 scale x
     3 shifts) with per-(flip,scale) bank re-inference AND the HBM-resident

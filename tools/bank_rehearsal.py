@@ -264,6 +264,80 @@ def run_inference_ladder(cfg, bank, num_videos, batches, iters, sharded):
     return results
 
 
+def run_train_ladder(cfg, bank, num_videos, batches, iters):
+    """FBO-NL TRAINING with the real-scale bank resident -- the reference's
+    main LFB workflow (train the bank-attending model against a frozen
+    baseline's bank, ``GETTING_STARTED.md`` stage 2).  The r4 rehearsal
+    covered eval only; this measures whether the full train step
+    (fwd+bwd+SGD at train shapes, 32x224x224) fits HBM NEXT TO the bank
+    and at what clips/sec."""
+    import jax
+    import jax.numpy as jnp
+    from lfb_tpu.core.config import clone
+    from lfb_tpu.models import build_spec, init_params
+    from lfb_tpu.models.model import frozen_param_names
+    from lfb_tpu.train import optimizer as opt
+    from lfb_tpu.train.steps import make_train_step, split_params
+
+    cfg = clone(cfg, {'TPU.REMAT': ''})
+    spec = build_spec(cfg, 'train')
+    results = []
+    for b in batches:
+        params = init_params(jax.random.PRNGKey(0), spec)
+        trainable, frozen = split_params(spec, params)
+        mstate = opt.init_state(params, frozen_param_names(spec, params))
+        step = make_train_step(spec, cfg.SOLVER, mesh=None, bank=bank)
+
+        rng = np.random.RandomState(0)
+        t, crop = cfg.TRAIN.VIDEO_LENGTH, cfg.TRAIN.CROP_SIZE
+        bpc = 4
+        n = b * bpc
+        batch = make_batch(cfg, spec, b, num_videos)
+        # Train shapes override the eval-sized data/proposal blobs (train
+        # crop 224 vs test 256), plus the labels the train step needs.
+        batch['data'] = jax.device_put(
+            0.1 * rng.randn(b, t, crop, crop, 3).astype(np.float32))
+        batch['proposals'] = jax.device_put(np.stack([
+            np.repeat(np.arange(b), bpc).astype(np.float32),
+            rng.uniform(0, crop / 2, n).astype(np.float32),
+            rng.uniform(0, crop / 2, n).astype(np.float32),
+            rng.uniform(crop / 2, crop, n).astype(np.float32),
+            rng.uniform(crop / 2, crop, n).astype(np.float32)], axis=1))
+        batch['labels'] = jax.device_put(
+            (rng.rand(n, cfg.MODEL.NUM_CLASSES) > 0.95).astype(np.float32))
+        batch['box_mask'] = jax.device_put(np.ones(n, np.float32))
+        try:
+            with phase_deadline('train B={}'.format(b)):
+                state = (trainable, frozen, mstate)
+                out = step(*state, batch, jax.random.PRNGKey(0),
+                           jnp.float32(1e-4))
+                state = out[:3]
+                float(out[3]['loss'])
+                t0 = time.perf_counter()
+                for i in range(iters):
+                    out = step(*state, batch, jax.random.PRNGKey(i),
+                               jnp.float32(1e-4))
+                    state = out[:3]
+                float(out[3]['loss'])
+                dt = (time.perf_counter() - t0) / iters
+            cps = b / dt
+            logger.info('train B=%d with resident bank: %.1f clips/sec/chip '
+                        '(%.0f ms/step)', b, cps, dt * 1e3)
+            results.append({'batch': b, 'clips_per_sec': round(cps, 2),
+                            'ms_per_step': round(dt * 1e3, 1)})
+            break
+        except TimeoutError as e:
+            logger.warning('%s; aborting train ladder', e)
+            results.append({'batch': b, 'stall': True})
+            break
+        except Exception as e:
+            if not _is_oom(e):
+                raise
+            logger.info('train B=%d: OOM', b)
+            results.append({'batch': b, 'oom': True})
+    return results
+
+
 def run_extract(cfg, num_videos, batches, iters):
     """Phase-A rehearsal: lfb_infer_only sweep throughput + full-split
     estimate at real AVA keyframe counts (one clip per annotated second,
@@ -314,6 +388,10 @@ def main():
     p.add_argument('--iters', type=int, default=10)
     p.add_argument('--sharded', action='store_true')
     p.add_argument('--extract', action='store_true')
+    p.add_argument('--train', action='store_true',
+                   help='also rehearse the FBO-NL TRAIN step next to the '
+                        'resident bank (descending --train-batches ladder)')
+    p.add_argument('--train-batches', default='8,4')
     args = p.parse_args()
 
     num_videos = args.videos or (235 if args.dataset == 'ava' else 9800)
@@ -334,6 +412,10 @@ def main():
         run = {'bank_dtype': dtype, **build_stats, 'inference': ladder}
         if args.extract and dtype == args.bank_dtype.split(',')[0]:
             run['extract'] = run_extract(cfg, num_videos, batches, args.iters)
+        if args.train and dtype == args.bank_dtype.split(',')[0]:
+            run['train'] = run_train_ladder(
+                cfg, bank, num_videos,
+                [int(b) for b in args.train_batches.split(',')], args.iters)
         report['runs'].append(run)
         # Free the bank before the next dtype variant claims HBM.
         del bank
