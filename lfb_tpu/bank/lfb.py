@@ -104,6 +104,12 @@ def get_lfb(cfg, params_file: str, is_train: bool, *, mesh=None,
     Unlike the reference -- which communicates 'use the TRAIN lists' by
     mutating ``cfg.GET_TRAIN_LFB`` (``lfb_loader.py:167``) -- the flag is
     passed explicitly to the dataset.
+
+    With no explicit ``mesh``, the sweep runs data-parallel over the same
+    default mesh the Trainer and test_net build from ``cfg.NUM_GPUS``
+    (the reference's extraction sweep was 8-GPU,
+    ``tools/lfb_loader.py:203-220``); mesh-vs-single bank parity is
+    pinned by ``tests/test_integration.py::test_*_get_lfb_multi_device*``.
     """
     if cfg.LFB.LOAD_LFB:
         return load_lfb(cfg, is_train)
@@ -111,9 +117,12 @@ def get_lfb(cfg, params_file: str, is_train: bool, *, mesh=None,
     import jax
     from lfb_tpu.data.loader import DataLoader, get_input_db
     from lfb_tpu.models import build_spec, init_params
-    from lfb_tpu.parallel import shard_batch
+    from lfb_tpu.parallel import create_mesh, shard_batch
     from lfb_tpu.train import checkpoints as ckpt
     from lfb_tpu.train.steps import make_eval_step
+
+    if mesh is None:
+        mesh = create_mesh(min(cfg.NUM_GPUS, len(jax.devices())))
 
     spec = build_spec(cfg, cfg.TEST.DATA_TYPE or 'val', lfb_infer_only=True)
 
