@@ -49,6 +49,16 @@ def shard_batch(mesh: Mesh, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]
     All lfb_tpu batch blobs are padded to fixed, per-device-divisible leading
     dims by the data layer (AVA boxes included), so a uniform leading-axis
     shard is always valid.
+
+    On a SIZE-1 mesh (or no mesh) the blobs are placed plainly, without a
+    NamedSharding commitment: committed-sharded inputs force jit to compile
+    a mesh-annotated executable even when no in_shardings were given, and
+    on the tunneled 'axon' backend that executable class restages committed
+    buffers through the tunnel per execution (the r5 bisect in
+    BENCHMARKS.md; see ``steps._degenerate_mesh_to_none``).  A 1-device
+    "shard" is a plain placement anyway.
     """
+    if mesh is None or mesh.size == 1:
+        return {k: jax.device_put(v) for k, v in batch.items()}
     sharding = batch_sharding(mesh)
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}

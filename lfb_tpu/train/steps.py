@@ -21,6 +21,30 @@ from lfb_tpu.models.spec import ModelSpec
 from lfb_tpu.train import optimizer as opt
 
 
+def _degenerate_mesh_to_none(mesh):
+    """Collapse a 1-device mesh to ``None`` (plain jit, no shardings).
+
+    Semantically identical -- a size-1 mesh partitions nothing, and the
+    compiled HLO is byte-identical (verified via ``memory_analysis`` on
+    v5e) -- but on the tunneled 'axon' PJRT backend mesh-ANNOTATED
+    executables hit a pathological runtime path when a step's committed
+    sharded outputs are fed back as the next step's arguments (the
+    training-state feedback loop every trainer has): the ~1.3 GB of
+    param/momentum buffers restage through the tunnel per execution.
+    Measured on the flagship train step (r5 bisect, BENCHMARKS.md):
+    identical program, 160 ms/step fed fresh uncommitted arrays vs
+    9.5 s/step fed its own committed outputs; donation is NOT the
+    trigger (no-donate variants measure the same).  Dropping the
+    degenerate mesh keeps single-chip training at full speed everywhere
+    and changes nothing on real multi-chip meshes (n > 1 keeps its
+    shardings; the explicit shard_map path keeps its mesh at any size
+    because the body needs the named axis).
+    """
+    if mesh is not None and getattr(mesh, 'size', 0) == 1:
+        return None
+    return mesh
+
+
 def split_params(spec: ModelSpec, params: Dict[str, jax.Array]):
     frozen_names = frozen_param_names(spec, params)
     trainable = {k: v for k, v in params.items() if k not in frozen_names}
@@ -82,6 +106,9 @@ def make_train_step(spec: ModelSpec, solver, mesh=None, bank=None,
     wd = float(solver.WEIGHT_DECAY)
     wd_bn = float(solver.WEIGHT_DECAY_BN)
     bn_momentum = float(spec.bn_momentum)
+
+    if not use_shard_map:
+        mesh = _degenerate_mesh_to_none(mesh)
 
     from lfb_tpu.bank.device_bank import ShardedDeviceBank
     bank_sharded = isinstance(bank, ShardedDeviceBank)
@@ -222,6 +249,9 @@ def make_eval_step(spec: ModelSpec, mesh=None, with_loss: bool = False,
                    bank=None, bank_seed: int = 0,
                    use_shard_map: bool = False):
     """Build the jitted eval/LFB-extraction step: params, batch -> outputs."""
+
+    if not use_shard_map:
+        mesh = _degenerate_mesh_to_none(mesh)
 
     def _outputs(out):
         keep = {}

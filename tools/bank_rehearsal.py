@@ -264,13 +264,15 @@ def run_inference_ladder(cfg, bank, num_videos, batches, iters, sharded):
     return results
 
 
-def run_train_ladder(cfg, bank, num_videos, batches, iters):
+def run_train_ladder(cfg, bank, num_videos, batches, iters, sharded=False):
     """FBO-NL TRAINING with the real-scale bank resident -- the reference's
     main LFB workflow (train the bank-attending model against a frozen
     baseline's bank, ``GETTING_STARTED.md`` stage 2).  The r4 rehearsal
     covered eval only; this measures whether the full train step
     (fwd+bwd+SGD at train shapes, 32x224x224) fits HBM NEXT TO the bank
-    and at what clips/sec."""
+    and at what clips/sec.  With ``sharded``, the TPU.BANK_SHARDED
+    shard_map train step runs instead (row-sharded feature table +
+    all_gather/psum_scatter window reassembly) on the real-chip mesh."""
     import jax
     import jax.numpy as jnp
     from lfb_tpu.core.config import clone
@@ -281,12 +283,19 @@ def run_train_ladder(cfg, bank, num_videos, batches, iters):
 
     cfg = clone(cfg, {'TPU.REMAT': ''})
     spec = build_spec(cfg, 'train')
+    mesh = None
+    if sharded:
+        from lfb_tpu.bank.device_bank import shard_bank
+        from lfb_tpu.parallel import create_mesh, shard_batch
+        mesh = create_mesh(jax.local_device_count())
+        bank = shard_bank(bank, mesh)
     results = []
     for b in batches:
         params = init_params(jax.random.PRNGKey(0), spec)
         trainable, frozen = split_params(spec, params)
         mstate = opt.init_state(params, frozen_param_names(spec, params))
-        step = make_train_step(spec, cfg.SOLVER, mesh=None, bank=bank)
+        step = make_train_step(spec, cfg.SOLVER, mesh=mesh, bank=bank,
+                               use_shard_map=sharded)
 
         rng = np.random.RandomState(0)
         t, crop = cfg.TRAIN.VIDEO_LENGTH, cfg.TRAIN.CROP_SIZE
@@ -306,6 +315,10 @@ def run_train_ladder(cfg, bank, num_videos, batches, iters):
         batch['labels'] = jax.device_put(
             (rng.rand(n, cfg.MODEL.NUM_CLASSES) > 0.95).astype(np.float32))
         batch['box_mask'] = jax.device_put(np.ones(n, np.float32))
+        if mesh is not None:
+            from lfb_tpu.parallel import shard_batch
+            batch = shard_batch(mesh, {k: np.asarray(v)
+                                       for k, v in batch.items()})
         try:
             with phase_deadline('train B={}'.format(b)):
                 state = (trainable, frozen, mstate)
@@ -415,7 +428,8 @@ def main():
         if args.train and dtype == args.bank_dtype.split(',')[0]:
             run['train'] = run_train_ladder(
                 cfg, bank, num_videos,
-                [int(b) for b in args.train_batches.split(',')], args.iters)
+                [int(b) for b in args.train_batches.split(',')], args.iters,
+                sharded=args.sharded)
         report['runs'].append(run)
         # Free the bank before the next dtype variant claims HBM.
         del bank
