@@ -35,6 +35,46 @@ def small_cfg():
     return C.finalize(cfg)
 
 
+def test_degenerate_mesh_downgrades_to_plain_jit():
+    """A SIZE-1 mesh must compile/run as plain jit with plainly-placed
+    batches: committed sharded state fed back through a mesh-annotated
+    executable restages ~1.3 GB through the tunneled backend per step
+    (r5 bisect, BENCHMARKS.md).  Pins (a) shard_batch's plain placement
+    at n=1, (b) numeric equality of the mesh(1) and mesh=None steps."""
+    from jax.sharding import NamedSharding
+
+    cfg = small_cfg()
+    spec = build_spec(cfg, 'train')
+    mesh1 = create_mesh(1)
+
+    rng = np.random.RandomState(3)
+    batch_np = {
+        'data': 0.1 * rng.randn(8, 8, 32, 32, 3).astype(np.float32),
+        'labels': (rng.rand(8, 6) > 0.5).astype(np.float32),
+        'lfb': rng.randn(8, 4, 2048).astype(np.float32),
+    }
+    batch1 = shard_batch(mesh1, batch_np)
+    # (a) no NamedSharding commitment on a 1-device "shard".
+    for v in batch1.values():
+        assert not isinstance(v.sharding, NamedSharding) \
+            or not v.committed, v.sharding
+
+    def run(mesh_arg, batch):
+        params = init_params(jax.random.PRNGKey(0), spec)
+        trainable, frozen = split_params(spec, params)
+        mstate = opt.init_state(params, frozen_param_names(spec, params))
+        step = make_train_step(spec, cfg.SOLVER, mesh_arg)
+        t, f, m, aux = step(trainable, frozen, mstate, batch,
+                            jax.random.PRNGKey(4), jnp.float32(1e-5))
+        return float(aux['loss']), np.asarray(t['pred_w'])
+
+    loss1, w1 = run(mesh1, batch1)
+    loss0, w0 = run(None, {k: jnp.asarray(v) for k, v in batch_np.items()})
+    # (b) identical program => identical numerics (same backend, same math).
+    np.testing.assert_allclose(loss1, loss0, rtol=1e-6)
+    np.testing.assert_allclose(w1, w0, rtol=1e-6, atol=1e-8)
+
+
 def test_train_step_on_8dev_mesh(eight_devices):
     cfg = small_cfg()
     spec = build_spec(cfg, 'train')
