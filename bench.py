@@ -567,12 +567,16 @@ def _run_inference_bench(cfg, batch_clips, iters, boxes_per_clip):
     print(json.dumps(result))
 
 
-def _real_bank_infer_phase(cfg, batch_clips, iters, params):
-    """Phase B at real bank scale: synthesize the 235-video AVA host bank
-    (~3.2 GB f32), build the HBM-resident ``AvaDeviceBank`` through the
-    real path, and time the device-bank eval step (metadata-keyed window
-    gather).  Returns (sec/step, bank_gb).  Reuses tools/bank_rehearsal.py
-    (whose r4 chip runs recorded 132.4 clips/sec/chip at this scale)."""
+def _real_bank_infer_phase(cfg, batch_clips, iters, params,
+                           num_videos: int = 235):
+    """Phase B at real bank scale: synthesize the AVA host bank
+    (235 videos ~= 3.2 GB f32 by default), build the HBM-resident
+    ``AvaDeviceBank`` through the real path, and time the device-bank
+    eval step (metadata-keyed window gather).  Returns (sec/step,
+    bank_gb).  Reuses tools/bank_rehearsal.py (whose r4 chip runs
+    recorded 132.4 clips/sec/chip at this scale).  ``num_videos`` is
+    parameterized so the CPU suite can pin this exact path at toy scale
+    (tests/test_bench_retry.py)."""
     import gc
     import jax
     from lfb_tpu.bank.device_bank import build_device_bank
@@ -584,7 +588,6 @@ def _real_bank_infer_phase(cfg, batch_clips, iters, params):
         os.path.abspath(__file__)), 'tools'))
     import bank_rehearsal as br
 
-    num_videos = 235
     host_bank, _total = br.synthesize_ava_host_bank(num_videos,
                                                     fast_fill=True)
     _rearm_watchdog()

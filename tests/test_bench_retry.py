@@ -80,3 +80,40 @@ def test_run_with_retries_leaves_no_pending_alarm(monkeypatch):
 
     assert bench.run_with_retries(flaky) == 7
     assert signal.alarm(0) == 0, 'retry armed a stray watchdog alarm'
+
+
+def test_real_bank_infer_phase_toy_scale():
+    """Pin bench.py's real-bank headline phase (synthesize -> AvaDeviceBank
+    build -> device-bank eval step with metadata-keyed gather) at toy scale
+    on CPU, so a signature/wiring change in the bank build or eval-step API
+    can't silently break the driver's headline run."""
+    import jax
+    import numpy as np
+    from lfb_tpu.core import config as C
+    from lfb_tpu.models import build_spec, init_params
+
+    cfg = C.default_config()
+    cfg.DATASET = 'ava'
+    cfg.MODEL.NUM_CLASSES = 80
+    cfg.MODEL.USE_AFFINE = True
+    cfg.NONLOCAL.USE_BN = False
+    cfg.NONLOCAL.USE_AFFINE = True
+    cfg.TRAIN.VIDEO_LENGTH = 4
+    cfg.TRAIN.CROP_SIZE = 32
+    cfg.TRAIN.BATCH_SIZE = 2
+    cfg.TEST.VIDEO_LENGTH = 4
+    cfg.TEST.CROP_SIZE = 32
+    cfg.TEST.BATCH_SIZE = 2
+    cfg.NUM_GPUS = 1
+    cfg.TPU.COMPUTE_DTYPE = 'float32'
+    cfg.TPU.USE_PALLAS = False
+    cfg.LFB.ENABLED = True
+    cfg.LFB.WINDOW_SIZE = 2
+    C.finalize(cfg)
+
+    spec = build_spec(cfg, 'test')
+    params = jax.device_put(init_params(jax.random.PRNGKey(0), spec))
+    dt, bank_gb = bench._real_bank_infer_phase(cfg, batch_clips=2, iters=1,
+                                               params=params, num_videos=3)
+    assert dt > 0
+    assert 0 < bank_gb < 0.1   # toy bank, but a real resident feature table
