@@ -542,7 +542,11 @@ def _run_inference_bench(cfg, batch_clips, iters, boxes_per_clip):
     # published bank size, ``GETTING_STARTED.md:45``) with on-device
     # window gather -- the number a production user sees.  The toy-window
     # figure (per-example 300-row lfb blob) is kept as a secondary field.
-    del lfb   # free the ~0.5 GB toy window blob before the bank claims HBM
+    # Free ALL toy-phase device arrays (~1.7 GB at B=48) before the bank
+    # claims HBM: a stale batch kept alive here can OOM the real-bank
+    # phase, which the fallback would silently turn back into the toy
+    # headline this phase exists to replace.
+    del lfb, data, proposals
     result = {
         'metric': 'clips/sec/chip (bank extraction + FBO inference, '
                   'real-scale resident device bank)',
@@ -603,6 +607,17 @@ def _real_bank_infer_phase(cfg, batch_clips, iters, params,
     spec = build_spec(cfg2, 'test')
     step = make_eval_step(spec, bank=bank)
     batch = br.make_batch(cfg2, spec, batch_clips, num_videos)
+    # Timing method note: the fori_loop wrapper (``timed_device_loop``)
+    # cannot be used here -- the multi-GB bank rides the step via closure
+    # and would lower as an HLO constant inside jit-of-loop (the exact
+    # defect ``device_bank._BoundFeatsBank`` exists to prevent).  The
+    # per-iter block_until_ready in ``time_step`` was A/B'd against the
+    # fori reference on the SAME toy step on this backend (r5): fori
+    # 344 ms, time_step 360 ms -- accurate to ~5% and slightly
+    # conservative, so it does NOT inflate the headline.  (A Python-level
+    # dependency-chain variant measured 564 ms on the same step: each
+    # out-of-jit chain op pays tunnel dispatch, so that approach
+    # over-counts and was rejected.)
     dt = br.time_step(step, params, batch, iters)
     _rearm_watchdog()
     return dt, bank_gb

@@ -122,7 +122,14 @@ def get_lfb(cfg, params_file: str, is_train: bool, *, mesh=None,
     from lfb_tpu.train.steps import make_eval_step
 
     if mesh is None:
-        mesh = create_mesh(min(cfg.NUM_GPUS, len(jax.devices())))
+        # Clamp to the largest device count that divides the sweep batch:
+        # finalize() only asserts divisibility by cfg.NUM_GPUS, so a host
+        # exposing fewer visible devices (e.g. 3 of a configured 8) must
+        # not produce a mesh that can't shard the batch's leading axis.
+        n = min(cfg.NUM_GPUS, len(jax.devices()))
+        while cfg.TEST.BATCH_SIZE % n:
+            n -= 1
+        mesh = create_mesh(n)
 
     spec = build_spec(cfg, cfg.TEST.DATA_TYPE or 'val', lfb_infer_only=True)
 

@@ -523,7 +523,11 @@ def test_ava_get_lfb_multi_device_matches_single(tmp_path, use_shard_map):
     base_file = str(tmp_path / 'baseline.pkl')
     ckpt.save_params(base_file, base_params, model_iter=0, lr=0.01)
 
-    bank_single = get_lfb(cfg, base_file, is_train=False)
+    # The single-device reference must NOT use get_lfb's default mesh
+    # (cfg.NUM_GPUS=8 on the 8-virtual-device suite would silently run the
+    # same 8-way sweep twice and compare a code path against itself).
+    cfg_single = C.clone(cfg, {'NUM_GPUS': 1, 'TPU.SHARD_MAP': False})
+    bank_single = get_lfb(cfg_single, base_file, is_train=False)
     bank_mesh = get_lfb(cfg, base_file, is_train=False, mesh=create_mesh(8))
     assert bank_single, 'empty bank -- sweep produced nothing'
     _assert_banks_equal(bank_single, bank_mesh)
@@ -557,7 +561,8 @@ def test_charades_get_lfb_multi_device_matches_single(tmp_path):
     base_file = str(tmp_path / 'baseline.pkl')
     ckpt.save_params(base_file, base_params, model_iter=0, lr=0.01)
 
-    bank_single = get_lfb(cfg, base_file, is_train=False)
+    bank_single = get_lfb(C.clone(cfg, {'NUM_GPUS': 1}), base_file,
+                          is_train=False)
     bank_mesh = get_lfb(cfg, base_file, is_train=False, mesh=create_mesh(8))
     assert len(bank_single) == 2
     assert all(len(v) == 3 for v in bank_single.values())
@@ -592,7 +597,8 @@ def test_epic_get_lfb_multi_device_matches_single(tmp_path):
     base_file = str(tmp_path / 'baseline.pkl')
     ckpt.save_params(base_file, base_params, model_iter=0, lr=0.01)
 
-    bank_single = get_lfb(cfg, base_file, is_train=False)
+    bank_single = get_lfb(C.clone(cfg, {'NUM_GPUS': 1}), base_file,
+                          is_train=False)
     bank_mesh = get_lfb(cfg, base_file, is_train=False, mesh=create_mesh(8))
     assert bank_single, 'empty bank -- sweep produced nothing'
     _assert_banks_equal(bank_single, bank_mesh)

@@ -283,10 +283,11 @@ def run_train_ladder(cfg, bank, num_videos, batches, iters, sharded=False):
 
     cfg = clone(cfg, {'TPU.REMAT': ''})
     spec = build_spec(cfg, 'train')
+    from lfb_tpu.parallel import shard_batch
     mesh = None
     if sharded:
         from lfb_tpu.bank.device_bank import shard_bank
-        from lfb_tpu.parallel import create_mesh, shard_batch
+        from lfb_tpu.parallel import create_mesh
         mesh = create_mesh(jax.local_device_count())
         bank = shard_bank(bank, mesh)
     results = []
@@ -299,24 +300,28 @@ def run_train_ladder(cfg, bank, num_videos, batches, iters, sharded=False):
 
         rng = np.random.RandomState(0)
         t, crop = cfg.TRAIN.VIDEO_LENGTH, cfg.TRAIN.CROP_SIZE
-        bpc = 4
-        n = b * bpc
         batch = make_batch(cfg, spec, b, num_videos)
         # Train shapes override the eval-sized data/proposal blobs (train
         # crop 224 vs test 256), plus the labels the train step needs.
         batch['data'] = jax.device_put(
             0.1 * rng.randn(b, t, crop, crop, 3).astype(np.float32))
-        batch['proposals'] = jax.device_put(np.stack([
-            np.repeat(np.arange(b), bpc).astype(np.float32),
-            rng.uniform(0, crop / 2, n).astype(np.float32),
-            rng.uniform(0, crop / 2, n).astype(np.float32),
-            rng.uniform(crop / 2, crop, n).astype(np.float32),
-            rng.uniform(crop / 2, crop, n).astype(np.float32)], axis=1))
+        if cfg.DATASET == 'ava':
+            # Per-box rows (clip-aligned) for the RoI head.
+            bpc = 4
+            n = b * bpc
+            batch['proposals'] = jax.device_put(np.stack([
+                np.repeat(np.arange(b), bpc).astype(np.float32),
+                rng.uniform(0, crop / 2, n).astype(np.float32),
+                rng.uniform(0, crop / 2, n).astype(np.float32),
+                rng.uniform(crop / 2, crop, n).astype(np.float32),
+                rng.uniform(crop / 2, crop, n).astype(np.float32)], axis=1))
+            batch['box_mask'] = jax.device_put(np.ones(n, np.float32))
+        else:
+            # Clip-level (basic head): one label row per clip, no boxes.
+            n = b
         batch['labels'] = jax.device_put(
             (rng.rand(n, cfg.MODEL.NUM_CLASSES) > 0.95).astype(np.float32))
-        batch['box_mask'] = jax.device_put(np.ones(n, np.float32))
         if mesh is not None:
-            from lfb_tpu.parallel import shard_batch
             batch = shard_batch(mesh, {k: np.asarray(v)
                                        for k, v in batch.items()})
         try:
